@@ -1,0 +1,228 @@
+"""Device op tests against scipy oracles and hand-rolled reference loops."""
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from semtpu.ops import (
+    threshold_otsu, threshold_li, gaussian_filter, maximum_filter,
+    distance_transform_edt, binary_erosion, binary_dilation, binary_opening,
+    binary_fill_holes, eight_to_four_connected, label, peak_local_max,
+    watershed, segment,
+)
+
+
+def blobs(rng, shape=(96, 128), n=6, r=(6, 14)):
+    """Random disc mask."""
+    m = np.zeros(shape, dtype=bool)
+    ys, xs = np.mgrid[:shape[0], :shape[1]]
+    for _ in range(n):
+        cy = rng.integers(0, shape[0])
+        cx = rng.integers(0, shape[1])
+        rad = rng.integers(*r)
+        m |= (ys - cy) ** 2 + (xs - cx) ** 2 <= rad ** 2
+    return m
+
+
+# ---------- EDT ----------
+
+@pytest.mark.parametrize("shape", [(64, 64), (96, 130), (50, 33)])
+def test_edt_matches_scipy(shape, rng):
+    m = blobs(rng, shape)
+    got = np.asarray(distance_transform_edt(m))
+    want = ndi.distance_transform_edt(m)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_edt_all_foreground(rng):
+    # degenerate: no background anywhere -> scipy's output is undefined;
+    # ours saturates at >= H+W everywhere (the pipeline's degenerate-mask
+    # check skips watershed in this case anyway).
+    m = np.ones((32, 40), dtype=bool)
+    got = np.asarray(distance_transform_edt(m))
+    assert (got >= max(m.shape)).all()
+
+
+# ---------- filters ----------
+
+def test_gaussian_matches_scipy(rng):
+    x = rng.random((70, 90)).astype(np.float32) * 10
+    got = np.asarray(gaussian_filter(x, sigma=1.0))
+    want = ndi.gaussian_filter(x, sigma=1.0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_maximum_filter_interior(rng):
+    x = rng.random((40, 50)).astype(np.float32)
+    got = np.asarray(maximum_filter(x, 7))
+    want = ndi.maximum_filter(x, size=7, mode="constant", cval=-np.inf)
+    np.testing.assert_allclose(got, want)
+
+
+# ---------- thresholds ----------
+
+def test_otsu_bimodal(rng):
+    x = np.concatenate([rng.normal(50, 5, 4000), rng.normal(200, 10, 2000)])
+    x = np.clip(x, 0, 255).astype(np.uint8).reshape(60, 100)
+    t = float(threshold_otsu(x))
+    # otsu picks the first bin of the flat valley between the two modes
+    # (same argmax-first-occurrence behavior as skimage)
+    assert 60 < t < 190
+    assert (x < t).mean() > 0.6 and (x > t).mean() > 0.3
+
+
+def test_otsu_float_bimodal(rng):
+    x = np.concatenate([rng.normal(0.2, 0.02, 4000), rng.normal(0.8, 0.04, 2000)])
+    x = np.clip(x, 0, 1).astype(np.float32).reshape(60, 100)
+    t = float(threshold_otsu(x))
+    # first bin of the flat valley between the modes (0.2 and 0.8)
+    assert 0.25 < t < 0.75
+    assert (x < t).mean() > 0.6 and (x > t).mean() > 0.3
+
+
+def test_li_bimodal(rng):
+    x = np.concatenate([rng.normal(50, 5, 4000), rng.normal(200, 10, 2000)])
+    x = np.clip(x, 0, 255).astype(np.uint8).reshape(60, 100)
+    t = float(threshold_li(x))
+    assert 50 < t < 200
+    # Li sits below the midpoint for a dominant dark mode
+    assert t < float(threshold_otsu(x)) + 30
+
+
+# ---------- morphology ----------
+
+def test_erosion_dilation_match_scipy(rng):
+    m = blobs(rng)
+    np.testing.assert_array_equal(
+        np.asarray(binary_erosion(m, 2)), ndi.binary_erosion(m, iterations=2))
+    np.testing.assert_array_equal(
+        np.asarray(binary_dilation(m, 3)), ndi.binary_dilation(m, iterations=3))
+
+
+def test_opening_matches_scipy(rng):
+    m = blobs(rng)
+    got = np.asarray(binary_opening(m, 9))
+    want = ndi.binary_opening(m, structure=np.ones((9, 9)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fill_holes_matches_scipy(rng):
+    m = blobs(rng)
+    # punch holes
+    m[20:24, 30:34] = False
+    m[50:52, 60:61] = False
+    got = np.asarray(binary_fill_holes(m))
+    want = ndi.binary_fill_holes(m)
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------- eight_to_four ----------
+
+def oracle_eight_to_four(img):
+    img = img.copy()
+    if np.count_nonzero(img) > 2 or np.count_nonzero(img) < img.size - 2:
+        for x in range(0, img.shape[0] - 1):
+            for y in range(0, img.shape[1] - 1):
+                if img[x, y] == 0 and img[x + 1, y + 1] == 0 and img[x + 1, y] != 0 and img[x, y + 1] != 0:
+                    img[x + 1, y] = 0
+                elif img[x + 1, y] == 0 and img[x, y + 1] == 0 and img[x, y] != 0 and img[x + 1, y + 1] != 0:
+                    img[x, y] = 0
+    return img
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_eight_to_four_exact(seed):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((37, 43)) > 0.4).astype(np.uint8) * 255
+    got = np.asarray(eight_to_four_connected(img))
+    want = oracle_eight_to_four(img)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_eight_to_four_double_application_matches_oracle(rng):
+    # the reference op is NOT idempotent on dense noise (clearing pixels can
+    # create new diagonal-only pairs); verify we track it through repeats
+    img = (rng.random((40, 40)) > 0.5).astype(np.uint8) * 255
+    got = np.asarray(eight_to_four_connected(np.asarray(eight_to_four_connected(img))))
+    want = oracle_eight_to_four(oracle_eight_to_four(img))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_eight_to_four_separates_diagonal_particles():
+    # two particles touching only at a corner stay 4-separated afterwards
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[1:4, 1:4] = 255
+    img[4:7, 4:7] = 255
+    out = np.asarray(eight_to_four_connected(img))
+    _, n = label(out > 0, connectivity=1)
+    assert int(n) == 2
+
+
+# ---------- connected components ----------
+
+def test_label_matches_scipy_4conn(rng):
+    m = blobs(rng, n=8)
+    got, n_got = label(m, connectivity=1)
+    want, n_want = ndi.label(m)
+    assert int(n_got) == n_want
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_label_8conn_merges_diagonals():
+    m = np.zeros((6, 6), dtype=bool)
+    m[1, 1] = m[2, 2] = m[3, 3] = True
+    _, n4 = label(m, connectivity=1)
+    _, n8 = label(m, connectivity=2)
+    assert int(n4) == 3 and int(n8) == 1
+
+
+# ---------- watershed stack ----------
+
+def test_peak_local_max_simple():
+    img = np.zeros((40, 40), dtype=np.float32)
+    img[12, 12] = 5.0
+    img[30, 28] = 7.0
+    pk = np.asarray(peak_local_max(img, min_distance=3))
+    assert pk[12, 12] and pk[30, 28]
+    assert pk.sum() == 2
+
+
+def test_peak_local_max_excludes_border():
+    img = np.zeros((40, 40), dtype=np.float32)
+    img[1, 1] = 9.0
+    pk = np.asarray(peak_local_max(img, min_distance=3))
+    assert pk.sum() == 0
+
+
+def test_watershed_splits_touching_discs():
+    ys, xs = np.mgrid[:64, :96]
+    d1 = (ys - 32) ** 2 + (xs - 34) ** 2 <= 15 ** 2
+    d2 = (ys - 32) ** 2 + (xs - 60) ** 2 <= 15 ** 2
+    mask = d1 | d2
+    out = np.asarray(segment((mask * 255).astype(np.uint8), threshold=127,
+                             dark_background=True))
+    assert set(np.unique(out)) <= {0, 255}
+    # the two discs must be separated into distinct 4-connected instances
+    lab, n = ndi.label(out > 0)
+    assert n == 2
+    # both instances retain most of their disc area
+    sizes = sorted(np.bincount(lab.ravel())[1:])
+    assert min(sizes) > 0.7 * d1.sum()
+
+
+def test_watershed_single_blob_stays_whole():
+    ys, xs = np.mgrid[:48, :48]
+    disc = ((ys - 24) ** 2 + (xs - 24) ** 2 <= 14 ** 2)
+    out = np.asarray(segment((disc * 255).astype(np.uint8), threshold=127,
+                             dark_background=True))
+    lab, n = ndi.label(out > 0)
+    assert n == 1
+    assert (out > 0).sum() > 0.9 * disc.sum()
+
+
+def test_segment_degenerate_images():
+    allfg = np.full((32, 32), 255, dtype=np.uint8)
+    out = np.asarray(segment(allfg, threshold=127, dark_background=True))
+    assert (out == 255).all()
+    allbg = np.zeros((32, 32), dtype=np.uint8)
+    out = np.asarray(segment(allbg, threshold=127, dark_background=True))
+    assert (out == 0).all()
