@@ -1,0 +1,66 @@
+"""Evaluation metric tests: exact values on constructed cases."""
+import numpy as np
+
+from semtpu.eval import whole_image_iou, instance_iou, roc_rates, youden_index, threshold_sweep
+
+
+def test_whole_image_iou_exact():
+    a = np.zeros((10, 10), np.uint8)
+    b = np.zeros((10, 10), np.uint8)
+    a[0:4, 0:4] = 1   # 16 px
+    b[2:6, 0:4] = 1   # 16 px, 8 px overlap
+    got = float(whole_image_iou(a, b))
+    assert abs(got - 8 / 24) < 1e-6
+
+
+def test_roc_exact():
+    pred = np.array([[1, 1], [0, 0]], np.uint8)
+    gt = np.array([[1, 0], [0, 1]], np.uint8)
+    tpr, tnr, fpr, fnr = (float(x) for x in roc_rates(pred, gt))
+    # TP=1, FN=1, TN=1, FP=1
+    assert tpr == 0.5 and tnr == 0.5 and fpr == 0.5 and fnr == 0.5
+    assert abs(youden_index(pred, gt) - 0.0) < 1e-6
+
+
+def test_instance_iou_perfect_match():
+    img = np.zeros((64, 64), np.uint8)
+    img[5:15, 5:15] = 1
+    img[30:45, 30:45] = 1
+    assert abs(instance_iou(img, img) - 1.0) < 1e-6
+
+
+def test_instance_iou_partial():
+    pred = np.zeros((64, 64), np.uint8)
+    gt = np.zeros((64, 64), np.uint8)
+    pred[0:10, 0:10] = 1          # instance A: perfect match
+    gt[0:10, 0:10] = 1
+    pred[30:40, 30:40] = 1        # instance B: no GT overlap
+    got = instance_iou(pred, gt)
+    assert abs(got - 0.5) < 1e-6  # (1.0 + 0.0) / 2
+
+
+def test_instance_iou_min_area_filter():
+    pred = np.zeros((64, 64), np.uint8)
+    gt = np.zeros((64, 64), np.uint8)
+    pred[0:10, 0:10] = 1
+    gt[0:10, 0:10] = 1
+    pred[30:32, 30:32] = 1        # 4 px false positive, filtered at min_area=9
+    assert abs(instance_iou(pred, gt, min_area=9) - 1.0) < 1e-6
+    assert instance_iou(pred, gt, min_area=0) < 1.0
+
+
+def test_threshold_sweep_recovers_gt():
+    """A prediction equal to the GT must give IoU=1 at some threshold."""
+    rng = np.random.default_rng(0)
+    ys, xs = np.mgrid[:96, :96]
+    gt = np.zeros((96, 96), np.uint8)
+    for cy, cx in [(20, 20), (60, 70), (75, 25)]:
+        gt |= (((ys - cy) ** 2 + (xs - cx) ** 2) <= 100).astype(np.uint8)
+    pred = gt.astype(np.float32) * 0.7 + 0.1  # soft prediction: bg 0.1, fg 0.8
+    res = threshold_sweep([pred], [gt], do_watershed=False)
+    best_iou, t = res.best_iou_whole
+    assert best_iou > 0.999
+    by, _ = res.best_youden
+    assert by > 0.999
+    # degenerate thresholds are poor
+    assert res.iou_whole[0] < 0.2  # t=0: everything foreground
