@@ -1,0 +1,49 @@
+"""Checkpoint save/restore (params + batch stats + optimizer state).
+
+The reference checkpoints whole Keras models per epoch / on best loss
+(`CycleGAN.py:203-204`, `UNet_Segmentation.py:262-264`) and resumes by
+loading the lexicographically-latest directory entry
+(`UNet_Segmentation.py:303`). Here: Orbax for the pytree payload with the
+same latest-by-name resume convention, and unlike the reference the
+optimizer state is included, so training resumes exactly.
+"""
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, state) -> None:
+    """Save a pytree state to `path` (a directory, created fresh)."""
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_checkpoint(path: str, target=None):
+    """Restore a pytree state saved by :func:`save_checkpoint`.
+
+    `target` (an abstract or concrete pytree of the same structure) restores
+    with matching shapes/dtypes; None restores the raw saved tree.
+    """
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    if target is not None:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        return ckpt.restore(path, abstract)
+    return ckpt.restore(path)
+
+
+def latest_checkpoint(model_dir: str, pattern: str = r".*") -> str | None:
+    """Latest checkpoint directory under `model_dir` by name order
+    (the reference's resume-from-latest convention)."""
+    if not os.path.isdir(model_dir):
+        return None
+    entries = sorted(e for e in os.listdir(model_dir)
+                     if re.match(pattern, e)
+                     and os.path.isdir(os.path.join(model_dir, e)))
+    return os.path.join(model_dir, entries[-1]) if entries else None

@@ -1,0 +1,279 @@
+"""MultiRes-UNet training + tiled inference (the pipeline's step 6).
+
+Replaces the reference harness (`UNet_Segmentation.py:147-351`):
+
+- class-balanced weighted BCE with the dataset-derived weighting
+- Adam(1e-3) with step decay x0.5 / 10 epochs (or linear decay)
+- best-loss checkpointing + CSV epoch log (same columns)
+- inference: tiled (batched across ALL tiles at once — the reference runs
+  tiles one at a time at batch size 1, `UNet_Segmentation.py:339`) or
+  whole-image (shape-polymorphic module, no rebuild+weight-copy), followed
+  by the on-device threshold/Otsu + watershed + 4-connectivity stack.
+
+The train step is a single jitted computation over the data-parallel mesh:
+batches sharded on 'data', parameters replicated, gradient all-reduce
+inserted by XLA.
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from semtpu.models.multires_unet import MultiResUNet
+from semtpu.core.tiling import tile_image, stitch_image
+from semtpu.data.dataset import SegmentationDataset, apply_flip
+from semtpu.ops import segment, eight_to_four_connected
+from semtpu.parallel import get_mesh, shard_batch, replicate
+from semtpu.train.losses import weighted_bce
+from semtpu.train.schedules import step_decay_schedule, linear_decay_schedule
+from semtpu.train.checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+@dataclass
+class UNetConfig:
+    filters: int = 16
+    output_channels: int = 1
+    batch_size: int = 5
+    epochs: int = 50
+    learning_rate: float = 1e-3
+    lr_decay: str | float = "STEP_DECAY"   # STEP_DECAY | LINEAR_DECAY | weight-decay float
+    tile_h: int = 384
+    tile_w: int = 384
+    contrast_optimization_range: tuple = (0.5, 99.5)
+    bn_momentum: float = 0.99
+    compute_dtype: Any = jnp.bfloat16
+    seed: int = 0
+
+
+class UNetTrainer:
+    def __init__(self, config: UNetConfig | None = None, mesh=None):
+        self.config = config or UNetConfig()
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.model = MultiResUNet(filters=self.config.filters,
+                                  output_channels=self.config.output_channels,
+                                  bn_momentum=self.config.bn_momentum,
+                                  dtype=self.config.compute_dtype)
+        self.state: TrainState | None = None
+        self._weighting = 1.0
+
+    # -- state ---------------------------------------------------------------
+    def create_state(self, weighting: float, steps_per_epoch: int,
+                     sample_shape=None) -> TrainState:
+        cfg = self.config
+        self._weighting = float(weighting)
+        if sample_shape is None:
+            sample_shape = (1, cfg.tile_h, cfg.tile_w, 1)
+        rng = jax.random.PRNGKey(cfg.seed)
+        variables = jax.jit(partial(self.model.init, train=False))(
+            rng, jnp.zeros(sample_shape, jnp.float32))
+
+        if isinstance(cfg.lr_decay, float):
+            tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.lr_decay)
+        elif cfg.lr_decay == "LINEAR_DECAY":
+            tx = optax.adam(linear_decay_schedule(cfg.learning_rate,
+                                                  steps_per_epoch, cfg.epochs))
+        else:
+            tx = optax.adam(step_decay_schedule(cfg.learning_rate, steps_per_epoch))
+
+        state = TrainState.create(apply_fn=self.model.apply,
+                                  params=variables["params"], tx=tx,
+                                  batch_stats=variables["batch_stats"])
+        self.state = replicate(state, self.mesh)
+        return self.state
+
+    # -- steps ---------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, images, masks, aug):
+        images = apply_flip(images, aug)
+        masks = apply_flip(masks, aug)
+        w = self._weighting
+
+        def loss_fn(params):
+            preds, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            loss = weighted_bce(masks, preds, w)
+            return loss, (preds, updates["batch_stats"])
+
+        (loss, (preds, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        metrics = {
+            "loss": loss,
+            "mae": jnp.mean(jnp.abs(masks - preds)),
+            "acc": jnp.mean((preds > 0.5) == (masks > 0.5)),
+        }
+        return state, metrics
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, images, masks, aug):
+        images = apply_flip(images, aug)
+        masks = apply_flip(masks, aug)
+        preds = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        return {
+            "loss": weighted_bce(masks, preds, self._weighting),
+            "mae": jnp.mean(jnp.abs(masks - preds)),
+            "acc": jnp.mean((preds > 0.5) == (masks > 0.5)),
+        }
+
+    # -- fit -----------------------------------------------------------------
+    def fit(self, train_ds: SegmentationDataset, val_ds: SegmentationDataset | None = None,
+            model_dir: str | None = None, log_every: int = 0) -> dict:
+        cfg = self.config
+        n_dev = len(self.mesh.devices.reshape(-1))
+        bs = max(cfg.batch_size // n_dev, 1) * n_dev
+        steps_per_epoch = max(len(train_ds) // bs, 1)
+
+        if self.state is None:
+            h, w = train_ds.images.shape[1:3]
+            self.create_state(train_ds.class_weighting(), steps_per_epoch,
+                              sample_shape=(1, h, w, 1))
+
+        rng = np.random.default_rng(cfg.seed)
+        history = {"loss": [], "val_loss": [], "mae": [], "acc": [],
+                   "val_mae": [], "val_acc": []}
+        best_loss = np.inf
+        csv_path = os.path.join(model_dir, "training_log.csv") if model_dir else None
+        if csv_path:
+            os.makedirs(model_dir, exist_ok=True)
+            with open(csv_path, "a") as fh:
+                fh.write("epoch;loss;mae;acc;val_loss;val_mae;val_acc;seconds\n")
+
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            agg = []
+            for images, masks, aug in train_ds.batches(rng, bs):
+                batch = shard_batch((images, masks, aug), self.mesh)
+                self.state, metrics = self.train_step(self.state, *batch)
+                agg.append(metrics)
+            train_m = {k: float(np.mean([jax.device_get(a[k]) for a in agg]))
+                       for k in agg[0]}
+
+            val_m = {}
+            if val_ds is not None and len(val_ds) > 0:
+                vagg = []
+                for images, masks, aug in val_ds.batches(rng, bs, shuffle=False):
+                    batch = shard_batch((images, masks, aug), self.mesh)
+                    vagg.append(self.eval_step(self.state, *batch))
+                if vagg:
+                    val_m = {f"val_{k}": float(np.mean([jax.device_get(a[k]) for a in vagg]))
+                             for k in vagg[0]}
+
+            dt = time.time() - t0
+            for k in ("loss", "mae", "acc"):
+                history[k].append(train_m[k])
+                history[f"val_{k}"].append(val_m.get(f"val_{k}", np.nan))
+            if csv_path:
+                with open(csv_path, "a") as fh:
+                    fh.write(f"{epoch};{train_m['loss']};{train_m['mae']};{train_m['acc']};"
+                             f"{val_m.get('val_loss', '')};{val_m.get('val_mae', '')};"
+                             f"{val_m.get('val_acc', '')};{dt:.2f}\n")
+            if log_every and epoch % log_every == 0:
+                print(f"epoch {epoch}: loss={train_m['loss']:.4f} "
+                      f"val_loss={val_m.get('val_loss', float('nan')):.4f} ({dt:.1f}s)")
+
+            if model_dir and train_m["loss"] < best_loss:
+                best_loss = train_m["loss"]
+                self.save(os.path.join(model_dir, "checkpoint_lowest_loss"))
+
+        if model_dir:
+            self.save(os.path.join(model_dir, "model"))
+        return history
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str):
+        payload = {"params": jax.device_get(self.state.params),
+                   "batch_stats": jax.device_get(self.state.batch_stats),
+                   "weighting": np.float32(self._weighting)}
+        save_checkpoint(path, payload)
+
+    def load(self, path_or_model_dir: str):
+        path = path_or_model_dir
+        if not os.path.isdir(os.path.join(path, "params")) and os.path.isdir(path):
+            # model dir: pick latest run, prefer final model over best-loss ckpt
+            run = latest_checkpoint(path) or path
+            for cand in ("model", "checkpoint_lowest_loss"):
+                if os.path.isdir(os.path.join(run, cand)):
+                    path = os.path.join(run, cand)
+                    break
+        payload = load_checkpoint(path)
+        self._weighting = float(payload.get("weighting", 1.0))
+        dummy_tx = optax.identity()
+        state = TrainState.create(apply_fn=self.model.apply,
+                                  params=payload["params"], tx=dummy_tx,
+                                  batch_stats=payload["batch_stats"])
+        self.state = replicate(state, self.mesh)
+        return self.state
+
+    # -- inference -----------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def _forward(self, state, images):
+        return state.apply_fn({"params": state.params,
+                               "batch_stats": state.batch_stats},
+                              images, train=False)
+
+    def predict_image(self, image: np.ndarray, tile_images: bool = True,
+                      min_overlap: int = 2, manage_overlap_mode: int = 2) -> np.ndarray:
+        """Raw sigmoid map for one (H, W, 1) image, tiled or whole."""
+        cfg = self.config
+        if image.ndim == 2:
+            image = image[:, :, None]
+        if tile_images:
+            tiles = tile_image(image, cfg.tile_h, cfg.tile_w, min_overlap=min_overlap)
+            preds = self._forward(self.state, tiles)   # all tiles in ONE batch
+            out = stitch_image(preds, image.shape[1], image.shape[0],
+                               min_overlap=min_overlap,
+                               manage_overlap_mode=manage_overlap_mode)
+        else:
+            out = self._forward(self.state, image[None])[0]
+        return np.asarray(out)
+
+    def run_inference(self, images: np.ndarray, output_names: list[str] | None = None,
+                      output_directory: str | None = None, tile_images: bool = True,
+                      threshold: float = -1.0, watershed_lines: bool = True,
+                      min_distance: int = 9, min_overlap: int = 2,
+                      manage_overlap_mode: int = 2) -> list[np.ndarray]:
+        """Full inference + instance postprocessing for a batch of images.
+
+        Saves `<stem>_raw.tif` (raw float map) and `<stem>.tif` (binary
+        instance mask) per image when `output_directory` is given — the
+        reference's output contract (`UNet_Segmentation.py:344-351`).
+        """
+        from PIL import Image as PILImage
+        results = []
+        for i in range(len(images)):
+            raw = self.predict_image(images[i], tile_images=tile_images,
+                                     min_overlap=min_overlap,
+                                     manage_overlap_mode=manage_overlap_mode)[:, :, 0]
+            if output_directory and output_names:
+                stem = os.path.splitext(os.path.basename(output_names[i]))[0]
+                PILImage.fromarray(raw).save(
+                    os.path.join(output_directory, stem + "_raw.tif"))
+            u8 = raw - raw.min()
+            u8 = (u8 / max(u8.max(), 1e-12) * 255).astype(np.uint8)
+            inst = segment(u8, threshold=float(threshold),
+                           apply_watershed=watershed_lines,
+                           min_distance=min_distance, dark_background=True)
+            inst = np.asarray(eight_to_four_connected(inst))
+            if output_directory and output_names:
+                stem = os.path.splitext(os.path.basename(output_names[i]))[0]
+                PILImage.fromarray(inst).save(
+                    os.path.join(output_directory, stem + ".tif"))
+            results.append(inst)
+        return results

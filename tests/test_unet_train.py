@@ -1,0 +1,113 @@
+"""UNet end-to-end slice: data -> sharded train step -> ckpt -> tiled inference.
+
+Runs on the virtual 8-device CPU mesh with a tiny model (filters=4, 48x48)
+so the whole train/predict/checkpoint cycle stays fast on 1 CPU core.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semtpu.train.unet import UNetTrainer, UNetConfig
+from semtpu.data.dataset import SegmentationDataset, apply_flip
+from semtpu.parallel import get_mesh
+
+
+def synth_data(rng, n=12, size=48):
+    """Bright discs on noisy dark background + their masks."""
+    imgs = np.zeros((n, size, size, 1), np.float32)
+    masks = np.zeros((n, size, size, 1), np.float32)
+    ys, xs = np.mgrid[:size, :size]
+    for i in range(n):
+        img = rng.normal(0.15, 0.05, (size, size))
+        for _ in range(3):
+            cy, cx, r = rng.integers(8, size - 8), rng.integers(8, size - 8), rng.integers(4, 8)
+            d = (ys - cy) ** 2 + (xs - cx) ** 2 <= r ** 2
+            img = np.where(d, rng.normal(0.8, 0.05), img)
+            masks[i, :, :, 0] = np.maximum(masks[i, :, :, 0], d)
+        imgs[i, :, :, 0] = np.clip(img, 0, 1)
+    return imgs, masks
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(0)
+    imgs, masks = synth_data(rng)
+    train_ds = SegmentationDataset(imgs, masks, "train")
+    val_ds = SegmentationDataset(imgs, masks, "val")
+    cfg = UNetConfig(filters=4, batch_size=8, epochs=10, learning_rate=3e-3,
+                     tile_h=48, tile_w=48, bn_momentum=0.6,
+                     compute_dtype=jnp.float32)
+    trainer = UNetTrainer(cfg, mesh=get_mesh())
+    history = trainer.fit(train_ds, val_ds)
+    return trainer, history, (imgs, masks)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_apply_flip_codes():
+    x = np.arange(2 * 4 * 4).reshape(2, 4, 4, 1).astype(np.float32)
+    out = np.asarray(apply_flip(jnp.asarray(x), jnp.asarray([1, 2])))
+    np.testing.assert_array_equal(out[0], x[0, :, ::-1])
+    np.testing.assert_array_equal(out[1], x[1, ::-1, :])
+
+
+def test_loss_decreases(trained):
+    _, history, _ = trained
+    assert history["loss"][-1] < history["loss"][0]
+    assert np.isfinite(history["val_loss"][-1])
+
+
+def test_class_weighting(trained):
+    trainer, _, (imgs, masks) = trained
+    ds = SegmentationDataset(imgs, masks, "train")
+    w = ds.class_weighting()
+    fg = ds.masks.mean()
+    assert abs(w - (1 - fg) / fg) < 1e-3
+
+
+def test_predict_learns_discs(trained):
+    trainer, _, (imgs, masks) = trained
+    pred = trainer.predict_image(imgs[0], tile_images=False)[:, :, 0]
+    m = masks[0, :, :, 0] > 0.5
+    assert pred[m].mean() > pred[~m].mean() + 0.05  # separates fg from bg
+
+
+def test_tiled_inference_matches_whole(trained):
+    trainer, _, (imgs, _) = trained
+    # image larger than the tile: stitch from overlapping tiles
+    big = np.tile(imgs[0], (2, 2, 1))  # 96x96
+    tiled = trainer.predict_image(big, tile_images=True)
+    assert tiled.shape == (96, 96, 1)
+    whole = trainer.predict_image(big, tile_images=False)
+    # same network, different receptive-field context at seams: close overall
+    assert np.abs(np.asarray(tiled) - np.asarray(whole)).mean() < 0.12
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    trainer, _, (imgs, _) = trained
+    p = str(tmp_path / "ckpt")
+    trainer.save(p)
+    cfg = UNetConfig(filters=4, tile_h=48, tile_w=48, bn_momentum=0.6,
+                     compute_dtype=jnp.float32)
+    fresh = UNetTrainer(cfg, mesh=get_mesh())
+    fresh.load(p)
+    a = trainer.predict_image(imgs[0], tile_images=False)
+    b = fresh.predict_image(imgs[0], tile_images=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_run_inference_outputs(tmp_path, trained):
+    trainer, _, (imgs, _) = trained
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+    res = trainer.run_inference(imgs[:2], ["a.tif", "b.tif"], outdir,
+                                tile_images=False, threshold=0.5)
+    assert len(res) == 2
+    assert set(np.unique(res[0])) <= {0, 255}
+    assert os.path.isfile(os.path.join(outdir, "a_raw.tif"))
+    assert os.path.isfile(os.path.join(outdir, "a.tif"))
