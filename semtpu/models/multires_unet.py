@@ -64,6 +64,10 @@ class MultiResBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         w = self.alpha * self.u
         f1, f2, f3 = int(w * 0.167), int(w * 0.333), int(w * 0.5)
+        if f1 < 1:
+            raise ValueError(
+                f"MultiResBlock width u={self.u} too small: the narrowest "
+                f"branch would get {f1} filters; use filters >= 4")
         shortcut = ConvBN(f1 + f2 + f3, (1, 1), activation=None,
                           bn_momentum=self.bn_momentum, dtype=self.dtype)(x, train)
         c3 = ConvBN(f1, (3, 3), bn_momentum=self.bn_momentum, dtype=self.dtype)(x, train)
