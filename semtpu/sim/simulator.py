@@ -1,0 +1,276 @@
+"""Synthetic whole-mask simulator (pipeline step 2).
+
+Capability parity with `WGAN.simulate_masks`
+(`Releases/Version 1.2.0/WassersteinGAN.py:375-540`), redesigned for TPU:
+
+planning (host, cheap numpy per image):
+  - particle count (uniform in [min, max]) or grid positions (HEXAGONAL /
+    CUBIC with spacing_factor / noise_factor jitter)
+  - Perlin-clustered placement: threshold the noise field, then draw
+    positions without replacement from the allowed set
+  - per-particle scale (clipped normal or uniform) + rotation
+    (DISABLE / RANDOM / PERLIN = noise * 180 deg)
+
+rendering (device, one jitted computation per canvas):
+  - one batched WGAN-generator forward for ALL particles of a canvas
+    (the reference loops in generator batch_size chunks)
+  - vmapped rotate+scale via inverse-affine bilinear sampling in a fixed
+    DxD frame (replaces per-particle cv2.warpAffine with varying bounds)
+  - vmapped binarize > 127 -> fill holes -> binary opening 9x9 ->
+    erosion x2 (the reference's scipy.ndimage chain, `WassersteinGAN.py:517-521`)
+  - overlap-constrained sequential compositing as a lax.scan with the
+    reference's subtract-then-add rule: placing an eroded particle clears
+    the dilation ring, so touching particles keep a 1-px separating gap;
+    a particle is skipped when AND(canvas, eroded) > max_overlap * area
+
+The particle count varies per canvas; the render is compiled ONCE for
+max_particles with a validity mask, so every canvas reuses the same XLA
+executable.
+"""
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semtpu.sim.noise import perlin_field
+from semtpu.ops.morphology import binary_fill_holes, _erode_square, _dilate_square, binary_erosion
+
+
+@dataclass
+class SimulatorConfig:
+    img_width: int = 384
+    img_height: int = 384
+    min_no_of_particles: int = 100
+    max_no_of_particles: int = 150
+    use_normal_distribution: bool = True
+    sigma: float = 0.10
+    mu: float = 1.0
+    min_scaling: float = 0.75
+    max_scaling: float = 1.25
+    use_perlin_noise: bool = True
+    perlin_noise_threshold: float = 0.5
+    perlin_noise_frequency: int = 4
+    use_random_rotation: str = "DISABLE"      # DISABLE | RANDOM | PERLIN
+    max_overlap: float | None = 0.5           # fraction of particle area
+    grid_type: str = "DISABLE"                # DISABLE | HEXAGONAL | CUBIC
+    grid_spacing_factor: float = 0.125
+    grid_noise_factor: float = 0.05
+    seed: int = 0
+
+
+class MaskSimulator:
+    """Composites WGAN particle samples into whole segmentation masks."""
+
+    def __init__(self, config: SimulatorConfig, particle_hw: tuple[int, int]):
+        self.config = config
+        self.particle_h, self.particle_w = particle_hw
+        cfg = config
+        if cfg.use_normal_distribution:
+            self.min_scaling = cfg.mu - 3 * cfg.sigma
+            self.max_scaling = cfg.mu + 3 * cfg.sigma
+        else:
+            self.min_scaling = cfg.min_scaling
+            self.max_scaling = cfg.max_scaling
+        # fixed particle frame: the rotated+scaled particle always fits
+        self.d = math.ceil(math.sqrt((self.max_scaling * self.particle_h) ** 2 +
+                                     (self.max_scaling * self.particle_w) ** 2))
+        self.canvas_h = cfg.img_height + 3 * self.d
+        self.canvas_w = cfg.img_width + 3 * self.d
+        # reference quirk preserved: any max_overlap constraint forces
+        # hexagonal-grid placement (`WassersteinGAN.py:409-410`)
+        self.grid_type = cfg.grid_type
+        if cfg.max_overlap is not None and self.grid_type not in ("HEXAGONAL", "CUBIC"):
+            self.grid_type = "HEXAGONAL"
+
+    # ------------------------------------------------------------------ plan
+    def plan(self, rng: np.random.Generator, noise_key) -> dict:
+        """Host-side placement plan for one canvas."""
+        cfg = self.config
+        H, W = self.canvas_h, self.canvas_w
+        noise = None
+        if cfg.use_perlin_noise or cfg.use_random_rotation == "PERLIN":
+            noise = np.asarray(perlin_field(noise_key, H, W,
+                                            cfg.perlin_noise_frequency))
+
+        lim_y = cfg.img_height + 2 * self.d
+        lim_x = cfg.img_width + 2 * self.d
+
+        if self.grid_type in ("HEXAGONAL", "CUBIC"):
+            sp_y = max(int(cfg.grid_spacing_factor * self.particle_h), 1)
+            sp_x = max(int(cfg.grid_spacing_factor * self.particle_w), 1)
+            if self.grid_type == "HEXAGONAL":
+                pos = []
+                for k, y in enumerate(range(0, lim_y, sp_y)):
+                    for x in range(0, lim_x, sp_x):
+                        xx = x + (k % 2) * (sp_x // 2)
+                        if xx > lim_x:
+                            break
+                        pos.append((xx, y))
+                pos_x = np.asarray([p[0] for p in pos])
+                pos_y = np.asarray([p[1] for p in pos])
+            else:
+                gy, gx = np.mgrid[0:lim_y:sp_y, 0:lim_x:sp_x]
+                pos_x, pos_y = gx.ravel(), gy.ravel()
+            jx = max(int(cfg.grid_noise_factor * self.particle_w), 1)
+            jy = max(int(cfg.grid_noise_factor * self.particle_h), 1)
+            pos_x = np.clip(pos_x + rng.integers(-jx, jx, pos_x.size), 0, lim_x)
+            pos_y = np.clip(pos_y + rng.integers(-jy, jy, pos_y.size), 0, lim_y)
+            if cfg.use_perlin_noise:
+                keep = noise[np.clip(pos_y, 0, H - 1), np.clip(pos_x, 0, W - 1)] \
+                    > (2 * cfg.perlin_noise_threshold - 1)
+                pos_x, pos_y = pos_x[keep], pos_y[keep]
+            n = len(pos_x)
+        else:
+            n = int(rng.integers(cfg.min_no_of_particles,
+                                 cfg.max_no_of_particles + 1))
+            if cfg.use_perlin_noise:
+                allowed = noise > (2 * cfg.perlin_noise_threshold - 1)
+                ys, xs = np.nonzero(allowed)
+                if len(ys) == 0:
+                    ys, xs = np.nonzero(np.ones((H, W), bool))
+                take = rng.choice(len(ys), size=min(n, len(ys)), replace=False)
+                pos_y, pos_x = ys[take], xs[take]
+                n = len(take)
+            else:
+                pos_x = rng.integers(0, lim_x, n)
+                pos_y = rng.integers(0, lim_y, n)
+
+        if cfg.use_normal_distribution:
+            scal = rng.normal(cfg.mu, cfg.sigma, n)
+        else:
+            scal = rng.uniform(self.min_scaling, self.max_scaling, n)
+        scal = np.clip(scal, self.min_scaling, self.max_scaling)
+
+        if cfg.use_random_rotation == "RANDOM":
+            rot = rng.integers(0, 360, n).astype(np.float32)
+        elif cfg.use_random_rotation == "PERLIN":
+            rot = noise[np.clip(pos_y, 0, H - 1), np.clip(pos_x, 0, W - 1)] * 180.0
+        else:
+            rot = np.zeros(n, np.float32)
+
+        # pad to a power-of-two bucket so the jitted render is compiled only
+        # O(log n) times across canvases with varying particle counts
+        cap = 64
+        while cap < n:
+            cap *= 2
+        pad = cap - n
+        return {
+            "pos_x": np.pad(pos_x, (0, pad)).astype(np.int32),
+            "pos_y": np.pad(pos_y, (0, pad)).astype(np.int32),
+            "scale": np.pad(scal, (0, pad), constant_values=1.0).astype(np.float32),
+            "rot": np.pad(rot, (0, pad)).astype(np.float32),
+            "valid": (np.arange(cap) < n),
+            "n": n,
+        }
+
+    # ---------------------------------------------------------------- render
+    @partial(jax.jit, static_argnums=0)
+    def _prepare_particles(self, samples, scale, rot):
+        """(N, h, w, 1) generator outputs -> (N, D, D) bool eroded+ring masks."""
+        d = self.d
+        u8 = samples[:, :, :, 0] * 127.5 + 127.5   # [-1,1] -> [0,255]
+
+        def warp_one(img, s, angle):
+            # inverse-map bilinear sampling into the fixed DxD frame
+            theta = -angle * jnp.pi / 180.0        # cv2: positive = CCW
+            cy_in = (self.particle_h - 1) / 2.0
+            cx_in = (self.particle_w - 1) / 2.0
+            c_out = (d - 1) / 2.0
+            yy, xx = jnp.mgrid[0:d, 0:d]
+            yr = (yy - c_out)
+            xr = (xx - c_out)
+            cos, sin = jnp.cos(theta), jnp.sin(theta)
+            src_x = (cos * xr - sin * yr) / s + cx_in
+            src_y = (sin * xr + cos * yr) / s + cy_in
+            return jax.scipy.ndimage.map_coordinates(
+                img, [src_y, src_x], order=1, mode="constant", cval=0.0)
+
+        warped = jax.vmap(warp_one)(u8, scale, rot)
+        p = warped > 127.0
+
+        p = jax.vmap(binary_fill_holes)(p)
+        p = jax.vmap(lambda m: _dilate_square(_erode_square(m, 9), 9))(p)  # opening
+        p_er = jax.vmap(lambda m: binary_erosion(m, 2))(p)
+        return p, p_er
+
+    @partial(jax.jit, static_argnums=0)
+    def _composite(self, p, p_er, pos_x, pos_y, valid):
+        """Sequential overlap-constrained compositing (lax.scan)."""
+        d = self.d
+        canvas0 = jnp.zeros((self.canvas_h, self.canvas_w), jnp.bool_)
+
+        def step(canvas, xs):
+            pi, ei, x, y, ok = xs
+            window = jax.lax.dynamic_slice(canvas, (y, x), (d, d))
+            area = jnp.sum(ei)
+            overlap = jnp.sum(window & ei)
+            ok = ok & (area > 0)
+            if self.config.max_overlap is not None:
+                ok = ok & (overlap <= self.config.max_overlap * area)
+            # subtract-then-add: clear the dilation ring, set the eroded body
+            new_window = jnp.where(ok, (window & ~pi) | ei, window)
+            canvas = jax.lax.dynamic_update_slice(canvas, new_window, (y, x))
+            return canvas, ok
+
+        canvas, placed = jax.lax.scan(step, canvas0, (p, p_er, pos_x, pos_y, valid))
+        a = (self.canvas_h - self.config.img_height) // 2
+        b = (self.canvas_w - self.config.img_width) // 2
+        out = jax.lax.dynamic_slice(canvas, (a, b),
+                                    (self.config.img_height, self.config.img_width))
+        return (out * 255).astype(jnp.uint8), placed
+
+    PREP_CHUNK = 2048   # bound the warp/morphology working set in HBM
+
+    def render(self, samples: jax.Array, plan: dict) -> tuple[np.ndarray, int]:
+        """Render one canvas from generator samples + a placement plan."""
+        n = samples.shape[0]
+        if n > self.PREP_CHUNK:
+            scale = jnp.asarray(plan["scale"])
+            rot = jnp.asarray(plan["rot"])
+            ps, pes = [], []
+            for s0 in range(0, n, self.PREP_CHUNK):
+                s1 = min(s0 + self.PREP_CHUNK, n)
+                a, b = self._prepare_particles(samples[s0:s1], scale[s0:s1],
+                                               rot[s0:s1])
+                ps.append(a)
+                pes.append(b)
+            p = jnp.concatenate(ps)
+            p_er = jnp.concatenate(pes)
+        else:
+            p, p_er = self._prepare_particles(samples, jnp.asarray(plan["scale"]),
+                                              jnp.asarray(plan["rot"]))
+        img, placed = self._composite(p, p_er, jnp.asarray(plan["pos_x"]),
+                                      jnp.asarray(plan["pos_y"]),
+                                      jnp.asarray(plan["valid"]))
+        return np.asarray(img), int(np.asarray(placed).sum())
+
+    # ------------------------------------------------------------------ runs
+    def simulate(self, sample_fn, no_of_images: int, output_dir: str | None = None,
+                 start_index: int = 0) -> list[np.ndarray]:
+        """Generate `no_of_images` masks.
+
+        sample_fn(n, seed) -> (n, h, w, 1) float32 in [-1, 1] — typically
+        `WGANTrainer.sample`. Saves `{i:05d}.tif` when output_dir is given
+        (the reference's trainB contract, `WassersteinGAN.py:532`).
+        """
+        from PIL import Image
+        cfg = self.config
+        rng = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed)
+        out = []
+        for i in range(no_of_images):
+            key, knoise, ksmp = jax.random.split(key, 3)
+            plan = self.plan(rng, knoise)
+            samples = sample_fn(len(plan["valid"]), int(ksmp[0]))
+            img, _ = self.render(jnp.asarray(samples), plan)
+            out.append(img)
+            if output_dir is not None:
+                Image.fromarray(img).save(
+                    os.path.join(output_dir, f"{start_index + i:05d}.tif"))
+        return out

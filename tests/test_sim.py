@@ -1,0 +1,93 @@
+"""Mask simulator tests: planning semantics + device rendering."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.ndimage as ndi
+
+from semtpu.sim import MaskSimulator, SimulatorConfig, perlin_field
+
+
+def disc_sampler(n, seed=0):
+    """Fake WGAN sampler: (n, 24, 24, 1) discs in [-1, 1]."""
+    rng = np.random.default_rng(seed)
+    ys, xs = np.mgrid[:24, :24]
+    out = np.full((n, 24, 24, 1), -1.0, np.float32)
+    for i in range(n):
+        r = rng.integers(6, 9)
+        m = (ys - 12) ** 2 + (xs - 12) ** 2 <= r ** 2
+        out[i, :, :, 0] = np.where(m, 1.0, -1.0)
+    return out
+
+
+def test_perlin_field_range_and_scale():
+    f = np.asarray(perlin_field(jax.random.PRNGKey(0), 64, 96, frequency=4))
+    assert f.shape == (64, 96)
+    assert abs(f.min() + 1) < 1e-5 and abs(f.max() - 1) < 1e-5
+    # spatial correlation: neighboring pixels are close
+    assert np.abs(np.diff(f, axis=0)).mean() < 0.1
+
+
+def test_plan_random_mode_counts():
+    cfg = SimulatorConfig(img_width=96, img_height=96, min_no_of_particles=10,
+                          max_no_of_particles=20, use_perlin_noise=False,
+                          max_overlap=None, grid_type="DISABLE")
+    sim = MaskSimulator(cfg, (24, 24))
+    assert sim.grid_type == "DISABLE"   # no overlap constraint -> no forced grid
+    plan = sim.plan(np.random.default_rng(0), jax.random.PRNGKey(0))
+    assert 10 <= plan["n"] <= 20
+    assert plan["valid"].sum() == plan["n"]
+
+
+def test_max_overlap_forces_hexagonal_grid():
+    cfg = SimulatorConfig(img_width=96, img_height=96, max_overlap=0.5,
+                          grid_type="DISABLE", use_perlin_noise=False)
+    sim = MaskSimulator(cfg, (24, 24))
+    assert sim.grid_type == "HEXAGONAL"  # reference WassersteinGAN.py:409-410
+    plan = sim.plan(np.random.default_rng(0), jax.random.PRNGKey(0))
+    assert plan["n"] > 50                # dense grid positions
+
+
+def test_perlin_clustering_restricts_positions():
+    cfg = SimulatorConfig(img_width=96, img_height=96, use_perlin_noise=True,
+                          perlin_noise_threshold=0.6, max_overlap=None,
+                          grid_type="DISABLE", min_no_of_particles=30,
+                          max_no_of_particles=30)
+    sim = MaskSimulator(cfg, (24, 24))
+    key = jax.random.PRNGKey(1)
+    plan = sim.plan(np.random.default_rng(0), key)
+    noise = np.asarray(perlin_field(key, sim.canvas_h, sim.canvas_w, 4))
+    n = plan["n"]
+    vals = noise[plan["pos_y"][:n], plan["pos_x"][:n]]
+    assert (vals > 2 * 0.6 - 1).all()
+
+
+def test_render_composites_separated_instances():
+    cfg = SimulatorConfig(img_width=128, img_height=128, max_overlap=0.05,
+                          use_perlin_noise=False, grid_type="HEXAGONAL",
+                          grid_spacing_factor=1.2, grid_noise_factor=0.05,
+                          use_normal_distribution=True)
+    sim = MaskSimulator(cfg, (24, 24))
+    rng = np.random.default_rng(0)
+    plan = sim.plan(rng, jax.random.PRNGKey(0))
+    samples = disc_sampler(len(plan["valid"]))
+    img, placed = sim.render(jnp.asarray(samples), plan)
+    assert img.shape == (128, 128)
+    assert set(np.unique(img)) <= {0, 255}
+    assert placed > 0
+    # particles kept apart: labeled instances are reasonably many and the
+    # ring-clearing rule keeps them 8-separated (no merged mega-blob)
+    lab, ncc = ndi.label(img > 0, structure=np.ones((3, 3)))
+    assert ncc > 0
+    sizes = np.bincount(lab.ravel())[1:]
+    assert sizes.max() < 2.5 * np.pi * 9 ** 2   # no merged blob
+
+
+def test_simulate_writes_files(tmp_path):
+    cfg = SimulatorConfig(img_width=64, img_height=64, max_overlap=0.3,
+                          use_perlin_noise=True, grid_spacing_factor=1.0)
+    sim = MaskSimulator(cfg, (24, 24))
+    out = sim.simulate(disc_sampler, 2, output_dir=str(tmp_path))
+    assert len(out) == 2
+    import os
+    assert sorted(os.listdir(tmp_path)) == ["00000.tif", "00001.tif"]
