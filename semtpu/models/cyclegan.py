@@ -150,4 +150,8 @@ class PatchGANDiscriminator(nn.Module):
 
         x = self._noise(x, train)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID", dtype=self.dtype)(x)
+        if x.shape[1] < 1 or x.shape[2] < 1:
+            raise ValueError(
+                f"input too small for the valid-padding PatchGAN stack: patch "
+                f"logits would be {x.shape[1]}x{x.shape[2]}; use inputs >= 48px")
         return x.astype(jnp.float32)

@@ -1,0 +1,460 @@
+"""CycleGAN training + inference (pipeline steps 3-4).
+
+Parity with the reference harness/model
+(`Releases/Version 1.2.0/CycleGAN.py:20-317,512-807`):
+
+- two generators (A->B "mask head", B->A) + two PatchGAN discriminators
+- LSGAN adversarial loss vs label-smoothed targets, cycle loss lambda=10
+  each (MAE, or BCE for A->B when `use_binary_crossentropy`), identity loss
+  0.5 * lambda_cycle
+- Adam(2e-4, beta1=0.5) x4 with linear LR decay from epoch 0.75*E
+- 50-image history pools feeding the discriminators
+- 14 loss trackers, per-epoch checkpoints, CSV log, A-B-A / B-A-B monitor
+  panels with mask-edge overlays
+- inference: batched tile->forward->stitch (vs the reference's bs=1 per-tile
+  loop, `CycleGAN.py:273`) or whole-image via the shape-polymorphic
+  generator (no rebuild+weight-copy), invert option for bright-background
+  (TEM) data, per-image min-max -> uint8 outputs
+
+TPU-native details:
+- ONE jitted, donated train step for all four networks. The two generator
+  losses need grads w.r.t. their own generator only while flowing through
+  the other (the reference uses a persistent GradientTape and two backward
+  passes); here `stop_gradient` on the cross generator's parameters fuses
+  both into a single backward pass.
+- the image pools live on device inside the train state; the reference's
+  host-side pool (`CycleGAN.py:908-964`) is a per-batch host sync. Pool
+  semantics (sequential fill, then 50% swap-with-random-slot) are
+  reproduced exactly with a lax.scan over the batch.
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from semtpu.models.cyclegan import ResNetGenerator, PatchGANDiscriminator
+from semtpu.core.tiling import tile_image, stitch_image
+from semtpu.data.dataset import PairedDomainDataset
+from semtpu.parallel import get_mesh, shard_batch, replicate
+from semtpu.train.losses import (lsgan_real_loss, lsgan_fake_loss, mae_loss,
+                                 binary_crossentropy)
+from semtpu.train.schedules import cyclegan_linear_decay_schedule
+from semtpu.train.checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+
+
+@struct.dataclass
+class PoolState:
+    images: Any          # (pool_size, H, W, C)
+    num: jnp.ndarray     # scalar int32
+
+
+@struct.dataclass
+class CycleGANState:
+    gen_a: Any
+    gen_b: Any
+    disc_a: Any
+    disc_b: Any
+    opt_ga: Any
+    opt_gb: Any
+    opt_da: Any
+    opt_db: Any
+    pool_a: PoolState
+    pool_b: PoolState
+    step: jnp.ndarray
+
+
+@dataclass
+class CycleGANConfig:
+    tile_h: int = 384
+    tile_w: int = 384
+    channels: int = 1
+    filters: int = 64
+    num_downsampling_gen: int = 3
+    num_residual_blocks: int = 9
+    num_upsampling_gen: int = 3
+    num_downsampling_disc: int = 2
+    batch_size: int = 5
+    epochs: int = 50
+    learning_rate: float = 2e-4
+    use_linear_decay: bool = True
+    lambda_cycle_a: float = 10.0
+    lambda_cycle_b: float = 10.0
+    lambda_identity_a: float = 0.5
+    lambda_identity_b: float = 0.5
+    use_binary_crossentropy: bool = False
+    use_skip_connection: bool = False
+    use_resize_convolution: bool = False
+    label_smoothing_factor: float = 0.0
+    gaussian_noise_value: float = 0.0
+    invert_images: bool = False
+    image_pool_size: int = 50
+    compute_dtype: Any = jnp.float32
+    seed: int = 0
+
+    def __post_init__(self):
+        assert not (self.use_binary_crossentropy and
+                    (self.lambda_identity_a > 0 or self.lambda_identity_b > 0)), \
+            "binary crossentropy cannot be combined with identity mapping " \
+            "(reference CycleGAN.py:71)"
+
+
+class CycleGANTrainer:
+    def __init__(self, config: CycleGANConfig | None = None, mesh=None):
+        self.config = cfg = config or CycleGANConfig()
+        self.mesh = mesh if mesh is not None else get_mesh()
+        common = dict(filters=cfg.filters,
+                      num_downsampling=cfg.num_downsampling_gen,
+                      num_residual_blocks=cfg.num_residual_blocks,
+                      num_upsampling=cfg.num_upsampling_gen,
+                      out_channels=cfg.channels,
+                      use_skip_connection=cfg.use_skip_connection,
+                      use_resize_convolution=cfg.use_resize_convolution,
+                      dtype=cfg.compute_dtype)
+        # gen_a: A->B (masks); sigmoid head when BCE
+        self.gen_a = ResNetGenerator(sigmoid_head=cfg.use_binary_crossentropy, **common)
+        self.gen_b = ResNetGenerator(sigmoid_head=False, **common)
+        disc_common = dict(filters=2 * cfg.filters,
+                           num_downsampling=cfg.num_downsampling_disc,
+                           gaussian_noise=cfg.gaussian_noise_value,
+                           dtype=cfg.compute_dtype)
+        self.disc_a = PatchGANDiscriminator(**disc_common)
+        self.disc_b = PatchGANDiscriminator(**disc_common)
+        self.state: CycleGANState | None = None
+        self._tx = None
+
+    # -- loss selections (reference create_model, CycleGAN.py:116-121) -------
+    def _cycle_loss_a(self, y_true, y_pred):
+        if self.config.use_binary_crossentropy:
+            return jnp.mean(binary_crossentropy(y_true, y_pred))
+        return mae_loss(y_true, y_pred)
+
+    def _make_tx(self, steps_per_epoch: int):
+        cfg = self.config
+        if cfg.use_linear_decay:
+            sched = cyclegan_linear_decay_schedule(cfg.learning_rate,
+                                                   max(steps_per_epoch, 1),
+                                                   cfg.epochs)
+        else:
+            sched = cfg.learning_rate
+        return optax.adam(sched, b1=0.5)
+
+    def create_state(self, steps_per_epoch: int = 1) -> CycleGANState:
+        cfg = self.config
+        self._tx = self._make_tx(steps_per_epoch)
+        rng = jax.random.PRNGKey(cfg.seed)
+        k = jax.random.split(rng, 4)
+        shape = (1, cfg.tile_h, cfg.tile_w, cfg.channels)
+        ga = jax.jit(self.gen_a.init)(k[0], jnp.zeros(shape))["params"]
+        gb = jax.jit(self.gen_b.init)(k[1], jnp.zeros(shape))["params"]
+        da = jax.jit(partial(self.disc_a.init, train=False))(k[2], jnp.zeros(shape))["params"]
+        db = jax.jit(partial(self.disc_b.init, train=False))(k[3], jnp.zeros(shape))["params"]
+        pool_shape = (cfg.image_pool_size, cfg.tile_h, cfg.tile_w, cfg.channels)
+        state = CycleGANState(
+            gen_a=ga, gen_b=gb, disc_a=da, disc_b=db,
+            opt_ga=self._tx.init(ga), opt_gb=self._tx.init(gb),
+            opt_da=self._tx.init(da), opt_db=self._tx.init(db),
+            pool_a=PoolState(images=jnp.zeros(pool_shape), num=jnp.int32(0)),
+            pool_b=PoolState(images=jnp.zeros(pool_shape), num=jnp.int32(0)),
+            step=jnp.zeros((), jnp.int32))
+        self.state = replicate(state, self.mesh)
+        return self.state
+
+    # -- pool (exact reference semantics, vectorized scan) --------------------
+    def _pool_query(self, pool: PoolState, images, rng) -> tuple[jax.Array, PoolState]:
+        size = self.config.image_pool_size
+        if size == 0:
+            return images, pool
+
+        def step(carry, xs):
+            imgs, num = carry
+            img, key = xs
+            k1, k2 = jax.random.split(key)
+            p = jax.random.uniform(k1)
+            slot = jax.random.randint(k2, (), 0, size)
+
+            def insert(_):
+                new_imgs = jax.lax.dynamic_update_slice(
+                    imgs, img[None], (num,) + (0,) * img.ndim)
+                return (new_imgs, num + 1), img
+
+            def swap(_):
+                stored = imgs[slot]
+                new_imgs = jax.lax.dynamic_update_slice(
+                    imgs, img[None], (slot,) + (0,) * img.ndim)
+                take_stored = p > 0.5
+                out = jnp.where(take_stored, stored, img)
+                final = jnp.where(take_stored, new_imgs, imgs)
+                return (final, num), out
+
+            (imgs, num), out = jax.lax.cond(num < size, insert, swap, None)
+            return (imgs, num), out
+
+        keys = jax.random.split(rng, images.shape[0])
+        (new_imgs, new_num), outs = jax.lax.scan(
+            step, (pool.images, pool.num), (images, keys))
+        return outs, PoolState(images=new_imgs, num=new_num)
+
+    # -- forwards -------------------------------------------------------------
+    def _g(self, module, params, x):
+        return module.apply({"params": params}, x)
+
+    def _d(self, module, params, x, rng, train):
+        rngs = {"noise": rng} if (train and self.config.gaussian_noise_value > 0) else None
+        return module.apply({"params": params}, x, train=train, rngs=rngs)
+
+    # -- the fused train step -------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: CycleGANState, real_a, real_b, rng):
+        cfg = self.config
+        sg = jax.lax.stop_gradient
+        k = jax.random.split(rng, 6)
+        smooth = cfg.label_smoothing_factor
+
+        def gen_loss(gen_params):
+            ga, gb = gen_params
+            fake_b = self._g(self.gen_a, ga, real_a)
+            fake_a = self._g(self.gen_b, gb, real_b)
+            # L_a trains gen_a only; gradients flow THROUGH gen_b's ops but
+            # not into its params (and vice versa) — reference tape semantics
+            cycled_b_for_a = self._g(self.gen_a, ga, self._g(self.gen_b, sg(gb), real_b))
+            cycled_a_for_b = self._g(self.gen_b, gb, self._g(self.gen_a, sg(ga), real_a))
+
+            disc_fake_a = self._d(self.disc_a, sg(state.disc_a), fake_a, k[0], True)
+            disc_fake_b = self._d(self.disc_b, sg(state.disc_b), fake_b, k[1], True)
+
+            adv_a = lsgan_real_loss(disc_fake_b, smooth)
+            adv_b = lsgan_real_loss(disc_fake_a, smooth)
+            cyc_a = self._cycle_loss_a(real_b, cycled_b_for_a) * cfg.lambda_cycle_a
+            cyc_b = mae_loss(real_a, cycled_a_for_b) * cfg.lambda_cycle_b
+
+            if cfg.lambda_identity_a > 0 or cfg.lambda_identity_b > 0:
+                same_b = self._g(self.gen_a, ga, real_b)
+                same_a = self._g(self.gen_b, gb, real_a)
+                id_a = mae_loss(real_b, same_b) * cfg.lambda_cycle_a * cfg.lambda_identity_a
+                id_b = mae_loss(real_a, same_a) * cfg.lambda_cycle_b * cfg.lambda_identity_b
+            else:
+                id_a = id_b = jnp.float32(0)
+
+            total_a = adv_a + cyc_a + id_a
+            total_b = adv_b + cyc_b + id_b
+            aux = dict(fake_a=sg(fake_a), fake_b=sg(fake_b),
+                       g_a=total_a, g_b=total_b, g_adv_a=adv_a, g_adv_b=adv_b,
+                       g_cyc_a=cyc_a, g_cyc_b=cyc_b, g_id_a=id_a, g_id_b=id_b)
+            return total_a + total_b, aux
+
+        (_, aux), gen_grads = jax.value_and_grad(gen_loss, has_aux=True)(
+            (state.gen_a, state.gen_b))
+        up_a, opt_ga = self._tx.update(gen_grads[0], state.opt_ga, state.gen_a)
+        gen_a = optax.apply_updates(state.gen_a, up_a)
+        up_b, opt_gb = self._tx.update(gen_grads[1], state.opt_gb, state.gen_b)
+        gen_b = optax.apply_updates(state.gen_b, up_b)
+
+        pooled_a, pool_a = self._pool_query(state.pool_a, aux["fake_a"], k[2])
+        pooled_b, pool_b = self._pool_query(state.pool_b, aux["fake_b"], k[3])
+
+        def disc_loss(disc_params):
+            da, db = disc_params
+            real_logits_a = self._d(self.disc_a, da, real_a, k[4], True)
+            fake_logits_a = self._d(self.disc_a, da, pooled_a, k[4], True)
+            real_logits_b = self._d(self.disc_b, db, real_b, k[5], True)
+            fake_logits_b = self._d(self.disc_b, db, pooled_b, k[5], True)
+            d_real_a = lsgan_real_loss(real_logits_a, smooth)
+            d_fake_a = lsgan_fake_loss(fake_logits_a, smooth)
+            d_real_b = lsgan_real_loss(real_logits_b, smooth)
+            d_fake_b = lsgan_fake_loss(fake_logits_b, smooth)
+            d_a = (d_real_a + d_fake_a) * 0.5
+            d_b = (d_real_b + d_fake_b) * 0.5
+            return d_a + d_b, dict(d_a=d_a, d_b=d_b, d_real_a=d_real_a,
+                                   d_fake_a=d_fake_a, d_real_b=d_real_b,
+                                   d_fake_b=d_fake_b)
+
+        (_, daux), disc_grads = jax.value_and_grad(disc_loss, has_aux=True)(
+            (state.disc_a, state.disc_b))
+        up_da, opt_da = self._tx.update(disc_grads[0], state.opt_da, state.disc_a)
+        disc_a = optax.apply_updates(state.disc_a, up_da)
+        up_db, opt_db = self._tx.update(disc_grads[1], state.opt_db, state.disc_b)
+        disc_b = optax.apply_updates(state.disc_b, up_db)
+
+        new_state = CycleGANState(
+            gen_a=gen_a, gen_b=gen_b, disc_a=disc_a, disc_b=disc_b,
+            opt_ga=opt_ga, opt_gb=opt_gb, opt_da=opt_da, opt_db=opt_db,
+            pool_a=pool_a, pool_b=pool_b, step=state.step + 1)
+        metrics = {kk: aux[kk] for kk in ("g_a", "g_b", "g_adv_a", "g_adv_b",
+                                          "g_cyc_a", "g_cyc_b", "g_id_a", "g_id_b")}
+        metrics.update(daux)
+        return new_state, metrics
+
+    # -- fit -------------------------------------------------------------------
+    def fit(self, dataset: PairedDomainDataset, model_dir: str | None = None,
+            image_dir: str | None = None, test_a=None, test_b=None,
+            checkpoint_every: int = 1, log_every: int = 0) -> dict:
+        cfg = self.config
+        n_dev = len(self.mesh.devices.reshape(-1))
+        bs = max(cfg.batch_size // n_dev, 1) * n_dev
+        steps_per_epoch = max(len(dataset) // bs, 1)
+        if self.state is None:
+            self.create_state(steps_per_epoch)
+
+        rng = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        history: dict[str, list] = {}
+        csv_path = os.path.join(model_dir, "training_log.csv") if model_dir else None
+        if model_dir:
+            os.makedirs(model_dir, exist_ok=True)
+
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            agg = []
+            for a, b in dataset.batches(rng, bs):
+                key, sub = jax.random.split(key)
+                a, b = shard_batch((a, b), self.mesh)
+                self.state, metrics = self.train_step(self.state, a, b, sub)
+                agg.append(metrics)
+            if not agg:
+                raise ValueError(
+                    f"dataset ({len(dataset)} items) yields no full batch at "
+                    f"sharded batch size {bs}; add data or reduce batch_size")
+            ep = {kk: float(np.mean([jax.device_get(m[kk]) for m in agg]))
+                  for kk in agg[0]}
+            for kk, v in ep.items():
+                history.setdefault(kk, []).append(v)
+            if csv_path:
+                new = not os.path.isfile(csv_path)
+                with open(csv_path, "a") as fh:
+                    if new:
+                        fh.write("epoch;" + ";".join(sorted(ep)) + ";seconds\n")
+                    fh.write(f"{epoch};" + ";".join(str(ep[kk]) for kk in sorted(ep))
+                             + f";{time.time() - t0:.2f}\n")
+            if log_every and epoch % log_every == 0:
+                print(f"epoch {epoch}: g_a={ep['g_a']:.3f} g_b={ep['g_b']:.3f} "
+                      f"d_a={ep['d_a']:.3f} d_b={ep['d_b']:.3f}")
+            if model_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+                self.save(os.path.join(model_dir, f"checkpoints_{epoch + 1:03d}"))
+            if image_dir is not None and test_a is not None and test_b is not None:
+                self.save_monitor_panels(test_a, test_b, image_dir, epoch + 1)
+
+        if model_dir:
+            self.save(os.path.join(model_dir, "model"))
+        return history
+
+    # -- monitor panels (reference GANMonitor, CycleGAN.py:810-905) -----------
+    def save_monitor_panels(self, test_a, test_b, output_dir: str, epoch: int,
+                            num_img: int = 2):
+        from PIL import Image
+        from semtpu.ops.morphology import binary_erosion
+        os.makedirs(output_dir, exist_ok=True)
+
+        def norm8(x):
+            x = x - x.min()
+            return (x / max(x.max(), 1e-12) * 255).astype(np.uint8)
+
+        for tag, first, g1m, g2m in (("A-B-A", test_a, "a", "b"),
+                                     ("B-A-B", test_b, "b", "a")):
+            n = min(num_img, len(first))
+            h, w = first.shape[1:3]
+            panel = np.zeros((n * h, 4 * w, 3), np.uint8)
+            for i in range(n):
+                x0 = jnp.asarray(first[i:i + 1])
+                g1 = self.gen_a if g1m == "a" else self.gen_b
+                g2 = self.gen_a if g2m == "a" else self.gen_b
+                p1 = np.asarray(self._g(g1, getattr(self.state, f"gen_{g1m}"), x0))[0]
+                p2 = np.asarray(self._g(g2, getattr(self.state, f"gen_{g2m}"),
+                                        jnp.asarray(p1[None])))[0]
+                imgs8 = [norm8(np.asarray(first[i])[:, :, 0]),
+                         norm8(p1[:, :, 0]), norm8(p2[:, :, 0])]
+                msk_src = imgs8[1] if tag == "A-B-A" else imgs8[0]
+                msk = msk_src > 127
+                edge = msk ^ np.asarray(binary_erosion(msk, 2))
+                base = imgs8[0] if tag == "A-B-A" else imgs8[1]
+                overlay = (base * 0.7).astype(np.uint8)
+                for j in range(3):
+                    panel[i * h:(i + 1) * h, 0:w, j] = imgs8[0]
+                    panel[i * h:(i + 1) * h, w:2 * w, j] = imgs8[1]
+                    panel[i * h:(i + 1) * h, 2 * w:3 * w, j] = imgs8[2]
+                    if j == 0:
+                        panel[i * h:(i + 1) * h, 3 * w:4 * w, j] = np.maximum(
+                            overlay, (edge * 255).astype(np.uint8))
+                    else:
+                        panel[i * h:(i + 1) * h, 3 * w:4 * w, j] = overlay
+            Image.fromarray(panel).save(
+                os.path.join(output_dir, f"{tag}_Epoch_{epoch:05d}.tif"))
+
+    # -- inference -------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _gen_forward(self, params, which: str, x):
+        module = self.gen_a if which == "a" else self.gen_b
+        return module.apply({"params": params}, x)
+
+    def run_inference(self, images, output_directory: str | None = None,
+                      file_names: list[str] | None = None, source_domain: str = "A",
+                      tile_images: bool = False, min_overlap: int = 2,
+                      manage_overlap_mode: int = 2) -> list[np.ndarray]:
+        """Translate images with the generator of `source_domain`.
+
+        images: list/array of (H, W, 1) float32 in [-1, 1]. Returns uint8
+        per-image min-max normalized outputs (reference contract,
+        `CycleGAN.py:224-286`).
+        """
+        cfg = self.config
+        which = "a" if "a" in source_domain.lower() else "b"
+        params = self.state.gen_a if which == "a" else self.state.gen_b
+        out = []
+        for i in range(len(images)):
+            img = np.asarray(images[i], np.float32)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if which == "a" and cfg.invert_images:
+                img = img * -1.0
+            if tile_images:
+                tiles = tile_image(img, cfg.tile_h, cfg.tile_w, min_overlap=min_overlap)
+                preds = self._gen_forward(params, which, tiles)
+                res = np.asarray(stitch_image(preds, img.shape[1], img.shape[0],
+                                              min_overlap=min_overlap,
+                                              manage_overlap_mode=manage_overlap_mode))
+            else:
+                res = np.asarray(self._gen_forward(params, which,
+                                                   jnp.asarray(img[None])))[0]
+            res = res[:, :, 0]
+            if which == "b" and cfg.invert_images:
+                res = res * -1.0
+            res = res - res.min()
+            res = (res / max(res.max(), 1e-12) * 255).astype(np.uint8)
+            out.append(res)
+            if output_directory and file_names:
+                from PIL import Image
+                Image.fromarray(res).save(os.path.join(
+                    output_directory, os.path.basename(file_names[i])))
+        return out
+
+    # -- persistence ------------------------------------------------------------
+    def save(self, path: str):
+        s = self.state
+        save_checkpoint(path, {k: jax.device_get(getattr(s, k))
+                               for k in ("gen_a", "gen_b", "disc_a", "disc_b")})
+
+    def load(self, path_or_model_dir: str):
+        path = path_or_model_dir
+        if os.path.isdir(path) and not os.path.isdir(os.path.join(path, "gen_a")):
+            run = latest_checkpoint(path) or path
+            cands = sorted(e for e in os.listdir(run)
+                           if e == "model" or e.startswith("checkpoints_"))
+            if cands:
+                path = os.path.join(run, "model" if "model" in cands else cands[-1])
+        payload = load_checkpoint(path)
+        if self.state is None:
+            self.create_state()
+        self.state = self.state.replace(
+            gen_a=replicate(payload["gen_a"], self.mesh),
+            gen_b=replicate(payload["gen_b"], self.mesh),
+            disc_a=replicate(payload["disc_a"], self.mesh),
+            disc_b=replicate(payload["disc_b"], self.mesh))
+        return self.state

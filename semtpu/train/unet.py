@@ -162,6 +162,10 @@ class UNetTrainer:
                 batch = shard_batch((images, masks, aug), self.mesh)
                 self.state, metrics = self.train_step(self.state, *batch)
                 agg.append(metrics)
+            if not agg:
+                raise ValueError(
+                    f"dataset ({len(train_ds)} items) yields no full batch at "
+                    f"sharded batch size {bs}; add data or reduce batch_size")
             train_m = {k: float(np.mean([jax.device_get(a[k]) for a in agg]))
                        for k in agg[0]}
 

@@ -227,6 +227,10 @@ class WGANTrainer:
                 batch = shard_batch(real, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch, sub)
                 agg.append(metrics)
+            if not agg:
+                raise ValueError(
+                    f"dataset ({len(dataset)} items) yields no full batch at "
+                    f"sharded batch size {bs}; add data or reduce batch_size")
             ep = {k: float(np.mean([jax.device_get(a[k]) for a in agg])) for k in agg[0]}
             for k in history:
                 history[k].append(ep[k])

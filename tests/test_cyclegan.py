@@ -1,0 +1,112 @@
+"""CycleGAN trainer tests: pool semantics, fused step, inference round-trip."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semtpu.train.cyclegan import (CycleGANTrainer, CycleGANConfig, PoolState)
+from semtpu.data.dataset import PairedDomainDataset
+
+SIZE = 48
+
+
+def tiny_config(**kw):
+    base = dict(tile_h=SIZE, tile_w=SIZE, filters=4, num_residual_blocks=2,
+                batch_size=4, epochs=2, image_pool_size=6)
+    base.update(kw)
+    return CycleGANConfig(**base)
+
+
+def domains(rng, n=8):
+    a = rng.random((n, SIZE, SIZE, 1), np.float32) * 2 - 1          # "SEM"
+    b = np.where(rng.random((n, SIZE, SIZE, 1)) > 0.8, 1.0, -1.0)   # "masks"
+    return a.astype(np.float32), b.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(0)
+    a, b = domains(rng)
+    tr = CycleGANTrainer(tiny_config())
+    hist = tr.fit(PairedDomainDataset(a, b))
+    return tr, hist, (a, b)
+
+
+def test_pool_fills_then_swaps():
+    tr = CycleGANTrainer(tiny_config())
+    size = tr.config.image_pool_size
+    pool = PoolState(images=jnp.zeros((size, SIZE, SIZE, 1)), num=jnp.int32(0))
+    batch = jnp.ones((4, SIZE, SIZE, 1)) * jnp.arange(1, 5)[:, None, None, None]
+    out, pool = tr._pool_query(pool, batch, jax.random.PRNGKey(0))
+    # filling phase: returns the inputs unchanged and stores them
+    np.testing.assert_allclose(np.asarray(out), np.asarray(batch))
+    assert int(pool.num) == 4
+    np.testing.assert_allclose(np.asarray(pool.images[:4]), np.asarray(batch))
+    # fill the remaining 2 slots, then queries swap or pass through
+    batch2 = jnp.ones((4, SIZE, SIZE, 1)) * jnp.arange(5, 9)[:, None, None, None]
+    out2, pool = tr._pool_query(pool, batch2, jax.random.PRNGKey(1))
+    assert int(pool.num) == size
+    vals = set(np.unique(np.asarray(out2)))
+    stored = set(np.unique(np.asarray(pool.images)))
+    assert vals <= set(np.arange(1.0, 9.0))       # outputs come from history
+    assert stored <= set(np.arange(1.0, 9.0))
+
+
+def test_training_metrics_finite(trained):
+    _, hist, _ = trained
+    assert set(hist) == {"g_a", "g_b", "g_adv_a", "g_adv_b", "g_cyc_a",
+                         "g_cyc_b", "g_id_a", "g_id_b", "d_a", "d_b",
+                         "d_real_a", "d_fake_a", "d_real_b", "d_fake_b"}
+    for k, v in hist.items():
+        assert np.all(np.isfinite(v)), k
+
+
+def test_inference_shapes_and_range(trained):
+    tr, _, (a, b) = trained
+    outs = tr.run_inference(a[:2], source_domain="A", tile_images=False)
+    assert len(outs) == 2 and outs[0].shape == (SIZE, SIZE)
+    assert outs[0].dtype == np.uint8
+    # tiled path on a larger image
+    big = np.tile(a[0], (3, 3, 1))
+    outs = tr.run_inference([big], source_domain="B", tile_images=True)
+    assert outs[0].shape == (3 * SIZE, 3 * SIZE)
+
+
+def test_bce_head_config():
+    cfg = tiny_config(use_binary_crossentropy=True, lambda_identity_a=0.0,
+                      lambda_identity_b=0.0)
+    tr = CycleGANTrainer(cfg)
+    rng = np.random.default_rng(1)
+    a, b = domains(rng, n=8)
+    b01 = (b + 1) / 2  # BCE scaling: masks in [0, 1]
+    hist = tr.fit(PairedDomainDataset(a, b01.astype(np.float32)))
+    assert np.all(np.isfinite(hist["g_cyc_a"]))
+    # sigmoid head: gen_a outputs in [0, 1]
+    out = tr._gen_forward(tr.state.gen_a, "a", jnp.asarray(a[:1]))
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_identity_bce_conflict_raises():
+    with pytest.raises(AssertionError):
+        tiny_config(use_binary_crossentropy=True)
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    tr, _, (a, _) = trained
+    p = str(tmp_path / "cg")
+    tr.save(p)
+    fresh = CycleGANTrainer(tiny_config())
+    fresh.create_state()
+    fresh.load(p)
+    x = jnp.asarray(a[:1])
+    np.testing.assert_allclose(
+        np.asarray(tr._gen_forward(tr.state.gen_a, "a", x)),
+        np.asarray(fresh._gen_forward(fresh.state.gen_a, "a", x)), atol=1e-6)
+
+
+def test_monitor_panels(tmp_path, trained):
+    tr, _, (a, b) = trained
+    tr.save_monitor_panels(a[:2], b[:2], str(tmp_path), epoch=1)
+    import os
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["A-B-A_Epoch_00001.tif", "B-A-B_Epoch_00001.tif"]
