@@ -51,7 +51,9 @@ def normalize_minmax(
     """
     lo, hi = normalization_range
     image = image - jnp.min(image)
-    image = image / jnp.max(image)
+    # guard degenerate constant images (the reference divides by zero here,
+    # `HelperFunctions.py:322`; a constant image maps to `lo`)
+    image = image / jnp.maximum(jnp.max(image), 1e-12)
     if threshold_value is not None:
         image = (image > threshold_value).astype(image.dtype)
     return lo + (hi - lo) * image

@@ -107,10 +107,10 @@ def tile_image(
             mn = jnp.min(tiles, axis=(1, 2, 3), keepdims=True)
             tiles = tiles - mn
             mx = jnp.max(tiles, axis=(1, 2, 3), keepdims=True)
-            tiles = tiles / mx
+            tiles = tiles / jnp.maximum(mx, 1e-12)   # constant-tile guard
         else:
             tiles = tiles - jnp.min(img)
-            tiles = tiles / jnp.max(img)
+            tiles = tiles / jnp.maximum(jnp.max(img), 1e-12)
         tiles = lo + (hi - lo) * tiles
     return tiles
 

@@ -1,0 +1,149 @@
+"""Pipeline options surface — StartProcess parity.
+
+Every constant of the reference orchestrator
+(`Releases/Version 1.2.0/StartProcess.py:13-43`) with the same name
+(lower-cased), default, and meaning. GPU-placement knobs
+(USE_GPUS_NO / ALLOW_MEMORY_GROWTH / USE_GPU_FOR_WHOLE_IMAGE_INFERENCE)
+are replaced by the mesh: training shards batches over all devices, and
+whole-image inference needs no CPU fallback on TPU (the reference falls
+back because full images exceed GPU memory, `StartProcess.py:22-27`).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    # General setup (StartProcess.py:14-23)
+    root_dir: str = os.path.abspath("./")
+    input_dir_masks: str | None = None        # default: <root>/Input_Masks
+    input_dir_images: str | None = None       # default: <root>/Input_Images
+    output_dir_cyclegan: str | None = None    # default: <root>/Output_Masks_CycleGAN
+    output_dir_unet: str | None = None        # default: <root>/Output_Masks_UNet
+    tile_size_w: int = 384
+    tile_size_h: int = 384
+    num_simulated_masks: int = 1000
+    run_inference_on_whole_image: bool = True
+    dark_background: bool = True
+
+    # WGAN + simulator (StartProcess.py:31-33, 70-86)
+    wgan_batch_size: int = 64
+    wgan_epochs: int = 1000
+    wgan_n_z: int = 128
+    max_particle_overlap: float | None = 0.5
+    sim_min_no_of_particles: int = 100
+    sim_max_no_of_particles: int = 150
+    sim_use_perlin_noise: bool = True
+    sim_perlin_noise_threshold: float = 0.5
+    sim_perlin_noise_frequency: int = 4
+    sim_use_normal_distribution: bool = True
+    sim_use_random_rotation: str = "DISABLE"   # DISABLE | RANDOM | PERLIN
+    sim_grid_type: str = "DISABLE"             # DISABLE | HEXAGONAL | CUBIC
+
+    # CycleGAN (StartProcess.py:34-38, 89-104)
+    cyclegan_batch_size: int = 5
+    cyclegan_epochs: int = 50
+    cyclegan_use_skips: bool = False
+    cyclegan_filters: int = 64
+    cyclegan_label_smoothing_factor: float = 0.0
+    cyclegan_gaussian_noise_value: float = 0.0
+    cyclegan_lambda_identity_a: float = 0.5
+    cyclegan_lambda_identity_b: float = 0.5
+    cyclegan_use_binary_crossentropy: bool = False
+    cyclegan_use_resize_convolution: bool = False
+    cyclegan_num_residual_blocks: int = 9
+    gaussian_blur_amount: float = 0.0
+    invert_images: bool = False                # TEM/bright-background variant
+
+    # UNet (StartProcess.py:39-42, 149-175)
+    unet_batch_size: int = 5
+    unet_epochs: int = 50
+    unet_contrast_optimization_range: tuple = (0.5, 99.5)
+    unet_filters: int = 16
+    unet_threshold: float = -1.0
+    unet_watershed_lines: bool = True
+    unet_min_distance: int = 9
+    min_overlap: int = 2
+    manage_overlap_mode: int = 2
+
+    # use_dataloader (StartProcess.py:43) controlled RAM usage in the
+    # reference; the data layer here is HBM/host-array resident by design
+    use_dataloader: bool = False
+
+    seed: int = 0
+
+    def __post_init__(self):
+        r = self.root_dir
+        self.input_dir_masks = self.input_dir_masks or os.path.join(r, "Input_Masks")
+        self.input_dir_images = self.input_dir_images or os.path.join(r, "Input_Images")
+        self.output_dir_cyclegan = self.output_dir_cyclegan or os.path.join(
+            r, "Output_Masks_CycleGAN")
+        self.output_dir_unet = self.output_dir_unet or os.path.join(
+            r, "Output_Masks_UNet")
+
+    # -- derived paths (directory contract, HelperFunctions.py:188-238) ------
+    @property
+    def wgan_dir(self): return os.path.join(self.root_dir, "1_WGAN")
+
+    @property
+    def wgan_model_dir(self): return os.path.join(self.wgan_dir, "Models")
+
+    @property
+    def wgan_output_dir(self): return os.path.join(self.wgan_dir, "Output_Images")
+
+    @property
+    def cyclegan_dir(self): return os.path.join(self.root_dir, "2_CycleGAN")
+
+    @property
+    def cyclegan_model_dir(self): return os.path.join(self.cyclegan_dir, "Models")
+
+    @property
+    def train_a_dir(self): return os.path.join(self.cyclegan_dir, "data", "trainA")
+
+    @property
+    def train_b_dir(self): return os.path.join(self.cyclegan_dir, "data", "trainB")
+
+    @property
+    def test_a_dir(self): return os.path.join(self.cyclegan_dir, "data", "testA")
+
+    @property
+    def test_b_dir(self): return os.path.join(self.cyclegan_dir, "data", "testB")
+
+    @property
+    def generated_a_dir(self):
+        return os.path.join(self.cyclegan_dir, "generate_images", "A")
+
+    @property
+    def generated_b_dir(self):
+        return os.path.join(self.cyclegan_dir, "generate_images", "B")
+
+    @property
+    def filtered_masks_dir(self):
+        return os.path.join(self.cyclegan_dir, "generate_images",
+                            "Synthetic_Masks_Filtered")
+
+    @property
+    def unet_dir(self): return os.path.join(self.root_dir, "3_UNet")
+
+    @property
+    def unet_model_dir(self): return os.path.join(self.unet_dir, "Models")
+
+
+def initialize_directories(cfg: PipelineConfig) -> None:
+    """Create the on-disk contract (`HelperFunctions.py:188-238`)."""
+    for d in (
+        cfg.wgan_dir, cfg.wgan_output_dir, cfg.wgan_model_dir,
+        cfg.cyclegan_dir,
+        os.path.join(cfg.cyclegan_dir, "data"),
+        os.path.join(cfg.cyclegan_dir, "generate_images"),
+        os.path.join(cfg.cyclegan_dir, "images"),
+        cfg.cyclegan_model_dir,
+        cfg.test_a_dir, cfg.test_b_dir, cfg.train_a_dir, cfg.train_b_dir,
+        cfg.generated_a_dir, cfg.generated_b_dir, cfg.filtered_masks_dir,
+        cfg.output_dir_cyclegan,
+        cfg.unet_dir, cfg.unet_model_dir,
+        cfg.output_dir_unet,
+    ):
+        os.makedirs(d, exist_ok=True)

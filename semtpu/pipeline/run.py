@@ -1,0 +1,320 @@
+"""Pipeline orchestrator: steps 0-6b in one process.
+
+Replaces `StartProcess.py:55-221`. The reference spawns one OS subprocess
+per step to work around TensorFlow not releasing GPU memory
+(`StartProcess.py:46`, SURVEY.md §2.7); JAX has no such leak pattern, so
+steps are plain function calls in one process. The per-step entry points
+are preserved so a run is resumable at any step (all inter-step state is
+the on-disk directory contract, exactly as in the reference).
+"""
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import time
+from datetime import datetime
+
+import numpy as np
+
+from semtpu.pipeline.config import PipelineConfig, initialize_directories
+from semtpu.data.io import (get_image_file_paths_from_directory,
+                            load_and_preprocess_images, save_image)
+from semtpu.core.tiling import tile_image
+from semtpu.measure.filtering import filter_gan_masks
+
+
+class Pipeline:
+    def __init__(self, config: PipelineConfig | None = None, mesh=None):
+        self.cfg = config or PipelineConfig()
+        self.mesh = mesh
+        self._wgan = None
+        self._mask_hw = None
+
+    # ------------------------------------------------------------- step 0
+    def step_0_prepare(self):
+        """Init directories + tile real images into trainA
+        (`HelperFunctions.py:188-287`)."""
+        cfg = self.cfg
+        print("Step 0: Initializing directories and preparing images...")
+        initialize_directories(cfg)
+
+        imgs = load_and_preprocess_images(cfg.input_dir_images,
+                                          normalization_range=None,
+                                          output_channels=1)
+        filenames = get_image_file_paths_from_directory(cfg.input_dir_images)
+        rnd = random.Random(cfg.seed)
+
+        for i, img in enumerate(imgs):
+            tiles = np.asarray(tile_image(img, cfg.tile_size_h, cfg.tile_size_w,
+                                          min_overlap=0,
+                                          normalization_range=(0, 255)),
+                               dtype=np.uint8)
+            f = os.path.basename(filenames[i])
+            ext = os.path.splitext(f)[-1]
+            for j, tile in enumerate(tiles):
+                # drop background-dominant tiles (`HelperFunctions.py:250`)
+                if self._keep_tile(tile, img):
+                    save_image(tile[:, :, 0], os.path.join(
+                        cfg.train_a_dir, f.replace(ext, f"-{j}{ext}")))
+
+        # 5 random test images
+        train_files = get_image_file_paths_from_directory(cfg.train_a_dir)
+        for f in rnd.sample(train_files, min(5, len(train_files))):
+            shutil.copy(f, cfg.test_a_dir)
+
+        # random-crop/flip augmentation up to num_simulated_masks
+        n_have = len(get_image_file_paths_from_directory(cfg.train_a_dir))
+        i = 0
+        attempts = 0
+        while n_have + i < cfg.num_simulated_masks and attempts < 100 * cfg.num_simulated_masks:
+            attempts += 1
+            r = rnd.randint(0, imgs.shape[0] - 1)
+            img = imgs[r]
+            if img.shape[0] <= cfg.tile_size_h or img.shape[1] <= cfg.tile_size_w:
+                break
+            a = rnd.randint(0, img.shape[0] - cfg.tile_size_h - 1)
+            b = rnd.randint(0, img.shape[1] - cfg.tile_size_w - 1)
+            tile = img[a:a + cfg.tile_size_h, b:b + cfg.tile_size_w]
+            if rnd.random() > 0.5:
+                tile = np.fliplr(tile)
+            if rnd.random() > 0.5:
+                tile = np.flipud(tile)
+            if self._keep_tile(tile, img):
+                f = os.path.basename(filenames[r])
+                ext = os.path.splitext(f)[-1]
+                save_image(tile[:, :, 0].astype(np.uint8), os.path.join(
+                    cfg.train_a_dir, f.replace(ext, f"-aug_{i}{ext}")))
+                i += 1
+
+    def _keep_tile(self, tile, img) -> bool:
+        if self.cfg.dark_background:
+            return float(np.mean(tile)) >= 1.1 * float(np.mean(img))
+        return float(np.mean(tile)) <= 0.9 * float(np.mean(img))
+
+    # ------------------------------------------------------------- step 1
+    def _load_input_masks(self):
+        from semtpu.train.wgan import prepare_mask_dataset
+        cfg = self.cfg
+        raw = load_and_preprocess_images(cfg.input_dir_masks,
+                                         threshold_value=0.5,
+                                         normalization_range=(-1, 1),
+                                         output_channels=1)
+        data, hw = prepare_mask_dataset(list(raw))
+        self._mask_hw = hw
+        return data, hw
+
+    def _wgan_trainer(self, hw):
+        from semtpu.train.wgan import WGANTrainer, WGANConfig
+        cfg = self.cfg
+        wcfg = WGANConfig(img_h=hw[0], img_w=hw[1], latent_dim=cfg.wgan_n_z,
+                          batch_size=cfg.wgan_batch_size, epochs=cfg.wgan_epochs,
+                          seed=cfg.seed)
+        return WGANTrainer(wcfg, mesh=self.mesh)
+
+    def step_1_train_wgan(self):
+        from semtpu.data.dataset import ArrayDataset
+        cfg = self.cfg
+        print("Step 1: Training WGAN...")
+        data, hw = self._load_input_masks()
+        trainer = self._wgan_trainer(hw)
+        prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+        trainer.fit(ArrayDataset(data),
+                    model_dir=os.path.join(cfg.wgan_model_dir, prefix),
+                    output_dir=os.path.join(cfg.wgan_output_dir, prefix),
+                    monitor_every=20)
+        self._wgan = trainer
+        return trainer
+
+    # ------------------------------------------------------------- step 2
+    def step_2_simulate_masks(self):
+        from semtpu.sim import MaskSimulator, SimulatorConfig
+        cfg = self.cfg
+        print("Step 2: Simulating fake masks...")
+        if self._wgan is None:
+            _, hw = self._load_input_masks()
+            self._wgan = self._wgan_trainer(hw)
+            self._wgan.load(cfg.wgan_model_dir)
+        num_masks = max(cfg.num_simulated_masks,
+                        len(os.listdir(cfg.train_a_dir)))
+        scfg = SimulatorConfig(
+            img_width=cfg.tile_size_w, img_height=cfg.tile_size_h,
+            min_no_of_particles=cfg.sim_min_no_of_particles,
+            max_no_of_particles=cfg.sim_max_no_of_particles,
+            use_perlin_noise=cfg.sim_use_perlin_noise,
+            perlin_noise_threshold=cfg.sim_perlin_noise_threshold,
+            perlin_noise_frequency=cfg.sim_perlin_noise_frequency,
+            use_normal_distribution=cfg.sim_use_normal_distribution,
+            use_random_rotation=cfg.sim_use_random_rotation,
+            grid_type=cfg.sim_grid_type,
+            max_overlap=cfg.max_particle_overlap,
+            seed=cfg.seed)
+        sim = MaskSimulator(scfg, self._mask_hw)
+        sim.simulate(self._wgan.sample, num_masks, output_dir=cfg.train_b_dir)
+
+        # 5 random test masks (`WassersteinGAN.py:534-540`)
+        rnd = random.Random(cfg.seed)
+        files = [f for f in os.listdir(cfg.train_b_dir)
+                 if f.endswith((".tif", ".png", ".bmp"))]
+        for f in rnd.sample(files, min(5, len(files))):
+            shutil.copy(os.path.join(cfg.train_b_dir, f), cfg.test_b_dir)
+
+    # ------------------------------------------------------------- step 3
+    def _cyclegan_trainer(self):
+        from semtpu.train.cyclegan import CycleGANTrainer, CycleGANConfig
+        cfg = self.cfg
+        ccfg = CycleGANConfig(
+            tile_h=cfg.tile_size_h, tile_w=cfg.tile_size_w,
+            filters=cfg.cyclegan_filters,
+            num_residual_blocks=cfg.cyclegan_num_residual_blocks,
+            batch_size=cfg.cyclegan_batch_size, epochs=cfg.cyclegan_epochs,
+            use_skip_connection=cfg.cyclegan_use_skips,
+            use_binary_crossentropy=cfg.cyclegan_use_binary_crossentropy,
+            use_resize_convolution=cfg.cyclegan_use_resize_convolution,
+            label_smoothing_factor=cfg.cyclegan_label_smoothing_factor,
+            gaussian_noise_value=cfg.cyclegan_gaussian_noise_value,
+            lambda_identity_a=cfg.cyclegan_lambda_identity_a,
+            lambda_identity_b=cfg.cyclegan_lambda_identity_b,
+            invert_images=cfg.invert_images,
+            seed=cfg.seed)
+        return CycleGANTrainer(ccfg, mesh=self.mesh)
+
+    def _load_domain(self, path_or_dir, binary_scale: bool, invert: bool = False):
+        r = (0, 1) if binary_scale else (-1, 1)
+        imgs = load_and_preprocess_images(path_or_dir, normalization_range=r,
+                                          output_channels=1)
+        if invert:
+            imgs = imgs * -1.0
+        return imgs
+
+    def step_3_train_cyclegan(self):
+        from semtpu.data.dataset import PairedDomainDataset
+        cfg = self.cfg
+        print("Step 3: Training CycleGAN...")
+        trainer = self._cyclegan_trainer()
+        bce = cfg.cyclegan_use_binary_crossentropy
+        train_a = self._load_domain(cfg.train_a_dir, False, cfg.invert_images)
+        train_b = self._load_domain(cfg.train_b_dir, bce)
+        test_a = self._load_domain(cfg.test_a_dir, False, cfg.invert_images)
+        test_b = self._load_domain(cfg.test_b_dir, bce)
+        prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+        trainer.fit(PairedDomainDataset(train_a, train_b),
+                    model_dir=os.path.join(cfg.cyclegan_model_dir, prefix),
+                    image_dir=os.path.join(cfg.cyclegan_dir, "images", prefix),
+                    test_a=test_a, test_b=test_b)
+        self._cyclegan = trainer
+        return trainer
+
+    # ------------------------------------------------------------- step 4
+    def step_4_cyclegan_inference(self):
+        cfg = self.cfg
+        print("Step 4: Generating fake SEM images and pre-segmenting real images...")
+        trainer = getattr(self, "_cyclegan", None)
+        if trainer is None:
+            trainer = self._cyclegan_trainer()
+            trainer.create_state()
+            trainer.load(cfg.cyclegan_model_dir)
+            self._cyclegan = trainer
+
+        # B -> A: render all simulated masks as fake SEM images (tiles)
+        files_b = get_image_file_paths_from_directory(cfg.train_b_dir)
+        masks = load_and_preprocess_images(files_b, normalization_range=(-1, 1))
+        trainer.run_inference(masks, cfg.generated_a_dir, files_b,
+                              source_domain="B", tile_images=False)
+
+        # A -> B: pre-segment the real images
+        files_a = get_image_file_paths_from_directory(cfg.input_dir_images)
+        images = load_and_preprocess_images(files_a, normalization_range=(-1, 1))
+        trainer.run_inference(images, cfg.generated_b_dir, files_a,
+                              source_domain="A",
+                              tile_images=not cfg.run_inference_on_whole_image,
+                              min_overlap=cfg.min_overlap,
+                              manage_overlap_mode=cfg.manage_overlap_mode)
+
+    # ------------------------------------------------------------- step 5
+    def step_5_filter_masks(self):
+        cfg = self.cfg
+        print("Step 5: Postprocessing CycleGAN output images...")
+        filter_gan_masks(img_path=cfg.generated_a_dir,
+                         msk_path=cfg.train_b_dir,
+                         out_path=cfg.filtered_masks_dir,
+                         gaussian_blur_amount=cfg.gaussian_blur_amount,
+                         do_watershed_and_four_connectivity=False,
+                         dark_background=cfg.dark_background)
+        filter_gan_masks(img_path=cfg.input_dir_images,
+                         msk_path=cfg.generated_b_dir,
+                         out_path=cfg.output_dir_cyclegan,
+                         do_watershed_and_four_connectivity=True,
+                         dark_background=cfg.dark_background)
+
+    # ------------------------------------------------------------- step 6
+    def _unet_trainer(self):
+        from semtpu.train.unet import UNetTrainer, UNetConfig
+        cfg = self.cfg
+        ucfg = UNetConfig(filters=cfg.unet_filters,
+                          batch_size=cfg.unet_batch_size,
+                          epochs=cfg.unet_epochs,
+                          tile_h=cfg.tile_size_h, tile_w=cfg.tile_size_w,
+                          contrast_optimization_range=cfg.unet_contrast_optimization_range,
+                          seed=cfg.seed)
+        return UNetTrainer(ucfg, mesh=self.mesh)
+
+    def step_6a_train_unet(self):
+        from semtpu.data.dataset import SegmentationDataset
+        cfg = self.cfg
+        print("Step 6a: Training MultiRes UNet...")
+        img_files = get_image_file_paths_from_directory(cfg.generated_a_dir)
+        pairs = [(f, os.path.join(cfg.filtered_masks_dir, os.path.basename(f)))
+                 for f in img_files]
+        pairs = [(i, m) for i, m in pairs if os.path.isfile(m)]
+        imgs = load_and_preprocess_images(
+            [p[0] for p in pairs], normalization_range=(0, 1),
+            contrast_optimization_range=cfg.unet_contrast_optimization_range)
+        masks = load_and_preprocess_images(
+            [p[1] for p in pairs], normalization_range=(0, 1), threshold_value=0.5)
+        train_ds = SegmentationDataset(imgs, masks, "train")
+        val_ds = SegmentationDataset(imgs, masks, "val")
+        trainer = self._unet_trainer()
+        prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+        trainer.fit(train_ds, val_ds,
+                    model_dir=os.path.join(cfg.unet_model_dir, prefix))
+        self._unet = trainer
+        return trainer
+
+    def step_6b_unet_inference(self):
+        cfg = self.cfg
+        print("Step 6b: Segmenting real images with UNet...")
+        trainer = getattr(self, "_unet", None)
+        if trainer is None:
+            trainer = self._unet_trainer()
+            trainer.load(cfg.unet_model_dir)
+            self._unet = trainer
+        files = get_image_file_paths_from_directory(cfg.input_dir_images)
+        images = load_and_preprocess_images(
+            files, normalization_range=(0, 1),
+            contrast_optimization_range=cfg.unet_contrast_optimization_range)
+        trainer.run_inference(images, files, cfg.output_dir_unet,
+                              tile_images=not cfg.run_inference_on_whole_image,
+                              threshold=cfg.unet_threshold,
+                              watershed_lines=cfg.unet_watershed_lines,
+                              min_distance=cfg.unet_min_distance,
+                              min_overlap=cfg.min_overlap,
+                              manage_overlap_mode=cfg.manage_overlap_mode)
+
+    # ---------------------------------------------------------------- all
+    STEPS = {
+        "0": "step_0_prepare",
+        "1": "step_1_train_wgan",
+        "2": "step_2_simulate_masks",
+        "3": "step_3_train_cyclegan",
+        "4": "step_4_cyclegan_inference",
+        "5": "step_5_filter_masks",
+        "6a": "step_6a_train_unet",
+        "6b": "step_6b_unet_inference",
+    }
+
+    def run(self, steps: list[str] | None = None):
+        print(f"Start: {datetime.now()}")
+        for s in steps or list(self.STEPS):
+            getattr(self, self.STEPS[s])()
+        print(f"Finished: {datetime.now()}")

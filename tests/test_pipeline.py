@@ -1,0 +1,132 @@
+"""Full-pipeline integration test at micro scale (steps 0-6b).
+
+Synthetic "SEM" images + particle outline masks run through the complete
+workflow: prepare -> WGAN -> simulate -> CycleGAN -> inference -> filter ->
+UNet -> instance masks, verifying the directory contract and output
+formats end-to-end on the virtual CPU mesh.
+"""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from semtpu.pipeline import Pipeline, PipelineConfig
+
+
+def make_inputs(root, rng):
+    os.makedirs(os.path.join(root, "Input_Images"))
+    os.makedirs(os.path.join(root, "Input_Masks"))
+    ys, xs = np.mgrid[:160, :160]
+    for i in range(3):
+        img = rng.normal(30, 8, (160, 160))
+        for _ in range(25):
+            cy, cx = rng.integers(10, 150, 2)
+            r = rng.integers(5, 9)
+            img = np.where((ys - cy) ** 2 + (xs - cx) ** 2 <= r ** 2,
+                           rng.normal(200, 10), img)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            os.path.join(root, "Input_Images", f"img_{i}.tif"))
+    mys, mxs = np.mgrid[:24, :24]
+    for i in range(4):
+        r = rng.integers(7, 11)
+        m = ((mys - 12) ** 2 + (mxs - 12) ** 2 <= r ** 2)
+        Image.fromarray((m * 255).astype(np.uint8)).save(
+            os.path.join(root, "Input_Masks", f"mask_{i}.tif"))
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipe"))
+    rng = np.random.default_rng(0)
+    make_inputs(root, rng)
+    cfg = PipelineConfig(
+        root_dir=root,
+        tile_size_w=64, tile_size_h=64,
+        num_simulated_masks=8,
+        run_inference_on_whole_image=True,
+        wgan_batch_size=8, wgan_epochs=2,
+        max_particle_overlap=None,
+        sim_min_no_of_particles=6, sim_max_no_of_particles=10,
+        sim_use_perlin_noise=True,
+        cyclegan_batch_size=8, cyclegan_epochs=1,
+        cyclegan_filters=4, cyclegan_num_residual_blocks=2,
+        unet_batch_size=8, unet_epochs=2, unet_filters=4,
+    )
+    pipe = Pipeline(cfg)
+    pipe.run()
+    return pipe, cfg
+
+
+def test_step0_tiles_and_testA(pipeline_run):
+    _, cfg = pipeline_run
+    train_a = os.listdir(cfg.train_a_dir)
+    assert len(train_a) >= 8         # tiles + augmentation up to 8
+    assert len(os.listdir(cfg.test_a_dir)) == 5
+    tile = np.array(Image.open(os.path.join(cfg.train_a_dir, train_a[0])))
+    assert tile.shape == (64, 64)
+
+
+def test_step1_wgan_artifacts(pipeline_run):
+    _, cfg = pipeline_run
+    runs = os.listdir(cfg.wgan_model_dir)
+    assert len(runs) == 1
+    run = os.path.join(cfg.wgan_model_dir, runs[0])
+    assert os.path.isfile(os.path.join(run, "training_log.csv"))
+    assert os.path.isdir(os.path.join(run, "model"))
+    outs = os.listdir(os.path.join(cfg.wgan_output_dir, runs[0]))
+    assert "Epoch_00000.png" in outs
+
+
+def test_step2_simulated_masks(pipeline_run):
+    _, cfg = pipeline_run
+    masks = sorted(os.listdir(cfg.train_b_dir))
+    assert len(masks) >= 8
+    assert masks[0] == "00000.tif"
+    assert len(os.listdir(cfg.test_b_dir)) == 5
+    m = np.array(Image.open(os.path.join(cfg.train_b_dir, masks[0])))
+    assert m.shape == (64, 64)
+    assert set(np.unique(m)) <= {0, 255}
+
+
+def test_step3_cyclegan_artifacts(pipeline_run):
+    _, cfg = pipeline_run
+    runs = os.listdir(cfg.cyclegan_model_dir)
+    assert len(runs) == 1
+    run = os.path.join(cfg.cyclegan_model_dir, runs[0])
+    assert os.path.isfile(os.path.join(run, "training_log.csv"))
+    assert os.path.isdir(os.path.join(run, "checkpoints_001"))
+    panels = os.listdir(os.path.join(cfg.cyclegan_dir, "images", runs[0]))
+    assert any(p.startswith("A-B-A") for p in panels)
+
+
+def test_step4_generated_images(pipeline_run):
+    _, cfg = pipeline_run
+    gen_a = os.listdir(cfg.generated_a_dir)
+    assert len(gen_a) == len(os.listdir(cfg.train_b_dir))
+    gen_b = os.listdir(cfg.generated_b_dir)
+    assert len(gen_b) == 3            # one per input image
+    img = np.array(Image.open(os.path.join(cfg.generated_b_dir, gen_b[0])))
+    assert img.shape == (160, 160)    # whole-image inference
+    assert img.dtype == np.uint8
+
+
+def test_step5_filtered_masks(pipeline_run):
+    _, cfg = pipeline_run
+    filt = os.listdir(cfg.filtered_masks_dir)
+    assert len(filt) == len(os.listdir(cfg.generated_a_dir))
+    out_cg = os.listdir(cfg.output_dir_cyclegan)
+    assert len(out_cg) == 3
+
+
+def test_step6_unet_outputs(pipeline_run):
+    _, cfg = pipeline_run
+    outs = sorted(os.listdir(cfg.output_dir_unet))
+    # per input image: <stem>.tif (instance mask) + <stem>_raw.tif
+    stems = {f.replace("_raw.tif", "").replace(".tif", "") for f in outs}
+    assert len(stems) == 3
+    assert sum(f.endswith("_raw.tif") for f in outs) == 3
+    inst = np.array(Image.open(os.path.join(cfg.output_dir_unet,
+                                            [f for f in outs if not f.endswith("_raw.tif")][0])))
+    assert set(np.unique(inst)) <= {0, 255}
+    assert inst.shape == (160, 160)
