@@ -1,0 +1,79 @@
+"""Score-sweep CLI — `python -m semtpu.eval` (Calculate_Scores.py parity).
+
+For every model subdirectory under --input-dir (each holding predicted
+masks), sweeps thresholds 0.0..1.0 against --ground-truth-dir and writes
+the reference's CSV outputs (`Archive/Other Scripts/Calculate_Scores.py:275-352`):
+
+- IoUScores_Variable_Threshold[_Watershed][_Filtered].csv
+- ROCValues_Variable_Threshold[...].csv  (+ best-Youden block)
+
+The reference parallelizes with mp.Pool over model dirs and runs per-pixel
+Python loops; here each segmentation + metric evaluation is a jitted device
+computation, so one process suffices.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from semtpu.eval.sweep import evaluate_predictions
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="semtpu.eval", description=__doc__)
+    p.add_argument("--input-dir", required=True,
+                   help="directory of model subdirectories with predicted masks")
+    p.add_argument("--ground-truth-dir", required=True)
+    p.add_argument("--output-dir", default=None,
+                   help="where to write the CSVs (default: --input-dir parent)")
+    p.add_argument("--watershed", type=lambda s: s.lower() in ("1", "true", "yes"),
+                   default=True)
+    p.add_argument("--single-model", action="store_true",
+                   help="treat --input-dir itself as one model directory")
+    args = p.parse_args(argv)
+
+    out_root = args.output_dir or os.path.dirname(os.path.abspath(args.input_dir))
+    suffix = "_Watershed" if args.watershed else "_No_Watershed"
+    iou_csv = os.path.join(out_root, f"IoUScores_Variable_Threshold{suffix}.csv")
+    roc_csv = os.path.join(out_root, f"ROCValues_Variable_Threshold{suffix}.csv")
+
+    if args.single_model:
+        model_dirs = [args.input_dir]
+    else:
+        model_dirs = [os.path.join(args.input_dir, d)
+                      for d in sorted(os.listdir(args.input_dir))
+                      if os.path.isdir(os.path.join(args.input_dir, d))]
+
+    iou_rows = ["Model;Average IoU score (Whole Image);At Threshold;"
+                "Average IoU score (All Instances);At Threshold;"
+                "Average IoU score (Instances > 9 sq.pixel);At Threshold"]
+    roc_rows = ["Model;Threshold;True Positves;True Negatives;False Positives;"
+                "False Negatives;Youdens Index"]
+    youden_rows = ["Model;Best Youdens Index;At Threshold"]
+
+    for d in model_dirs:
+        name = os.path.basename(d.rstrip("/"))
+        print(f"Evaluating {name}...")
+        res = evaluate_predictions(d, args.ground_truth_dir,
+                                   do_watershed=args.watershed)
+        bw, tw = res.best_iou_whole
+        bi, ti = res.best_iou_instance
+        bf, tf = res.best_iou_instance_filtered
+        by, ty = res.best_youden
+        iou_rows.append(f"{name};{bw};{tw};{bi};{ti};{bf};{tf}")
+        for i, t in enumerate(res.thresholds):
+            roc_rows.append(f"{name};{t};{res.tpr[i]};{res.tnr[i]};"
+                            f"{res.fpr[i]};{res.fnr[i]};{res.youden[i]}")
+        youden_rows.append(f"{name};{by};{ty}")
+        print(f"  IoU(img)={bw:.4f}@{tw} IoU(inst)={bi:.4f}@{ti} "
+              f"Youden={by:.4f}@{ty}")
+
+    with open(iou_csv, "a") as fh:
+        fh.write("\n".join(iou_rows) + "\n")
+    with open(roc_csv, "a") as fh:
+        fh.write("\n".join(roc_rows) + "\n\n\n" + "\n".join(youden_rows) + "\n")
+    print(f"Wrote {iou_csv} and {roc_csv}")
+
+
+if __name__ == "__main__":
+    main()
