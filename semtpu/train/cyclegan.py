@@ -211,9 +211,21 @@ class CycleGANTrainer:
         rngs = {"noise": rng} if (train and self.config.gaussian_noise_value > 0) else None
         return module.apply({"params": params}, x, train=train, rngs=rngs)
 
+    def _shard_constraint(self, x):
+        if len(self.mesh.devices.reshape(-1)) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P("data"))
+            return jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, sh), x)
+        return x
+
     # -- the fused train step -------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: CycleGANState, real_a, real_b, rng):
+    def train_step(self, state: CycleGANState, data_a, data_b, idx_a, idx_b, rng):
+        """One step; batches gathered ON DEVICE from the resident domain
+        arrays (only index vectors cross the host link per step)."""
+        real_a = self._shard_constraint(data_a[idx_a])
+        real_b = self._shard_constraint(data_b[idx_b])
         cfg = self.config
         sg = jax.lax.stop_gradient
         k = jax.random.split(rng, 6)
@@ -311,20 +323,33 @@ class CycleGANTrainer:
         if model_dir:
             os.makedirs(model_dir, exist_ok=True)
 
+        if len(dataset) < bs:
+            raise ValueError(
+                f"dataset ({len(dataset)} items) yields no full batch at "
+                f"sharded batch size {bs}; add data or reduce batch_size")
+
+        # both domains live on device for the whole run
+        dev_a = replicate(jnp.asarray(dataset.a), self.mesh)
+        dev_b = replicate(jnp.asarray(dataset.b), self.mesh)
+        metric_keys = ("g_a", "g_b", "g_adv_a", "g_adv_b", "g_cyc_a", "g_cyc_b",
+                       "g_id_a", "g_id_b", "d_a", "d_b", "d_real_a", "d_fake_a",
+                       "d_real_b", "d_fake_b")
+
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            agg = []
-            for a, b in dataset.batches(rng, bs):
+            msum = jnp.zeros(len(metric_keys))
+            ia = rng.permutation(len(dataset.a))
+            ib = rng.permutation(len(dataset.b))
+            n_steps = min(len(ia), len(ib)) // bs
+            for k_ in range(n_steps):
                 key, sub = jax.random.split(key)
-                a, b = shard_batch((a, b), self.mesh)
-                self.state, metrics = self.train_step(self.state, a, b, sub)
-                agg.append(metrics)
-            if not agg:
-                raise ValueError(
-                    f"dataset ({len(dataset)} items) yields no full batch at "
-                    f"sharded batch size {bs}; add data or reduce batch_size")
-            ep = {kk: float(np.mean([jax.device_get(m[kk]) for m in agg]))
-                  for kk in agg[0]}
+                self.state, metrics = self.train_step(
+                    self.state, dev_a, dev_b,
+                    jnp.asarray(ia[k_ * bs:(k_ + 1) * bs]),
+                    jnp.asarray(ib[k_ * bs:(k_ + 1) * bs]), sub)
+                msum = msum + jnp.stack([metrics[kk] for kk in metric_keys])
+            ep = dict(zip(metric_keys,
+                          (np.asarray(jax.device_get(msum)) / n_steps).tolist()))
             for kk, v in ep.items():
                 history.setdefault(kk, []).append(v)
             if csv_path:

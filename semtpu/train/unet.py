@@ -94,9 +94,22 @@ class UNetTrainer:
         self.state = replicate(state, self.mesh)
         return self.state
 
+    def _shard_constraint(self, x):
+        """Constrain a gathered batch to the data-parallel sharding."""
+        if len(self.mesh.devices.reshape(-1)) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P("data"))
+            return jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, sh), x)
+        return x
+
     # -- steps ---------------------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: TrainState, images, masks, aug):
+    def train_step(self, state: TrainState, images_all, masks_all, img_idx, aug):
+        """One step; batches are gathered ON DEVICE from the resident
+        dataset arrays (only the tiny index vectors cross the host link)."""
+        images = self._shard_constraint(images_all[img_idx])
+        masks = self._shard_constraint(masks_all[img_idx])
         images = apply_flip(images, aug)
         masks = apply_flip(masks, aug)
         w = self._weighting
@@ -120,7 +133,9 @@ class UNetTrainer:
         return state, metrics
 
     @partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: TrainState, images, masks, aug):
+    def eval_step(self, state: TrainState, images_all, masks_all, img_idx, aug):
+        images = self._shard_constraint(images_all[img_idx])
+        masks = self._shard_constraint(masks_all[img_idx])
         images = apply_flip(images, aug)
         masks = apply_flip(masks, aug)
         preds = state.apply_fn(
@@ -155,29 +170,51 @@ class UNetTrainer:
             with open(csv_path, "a") as fh:
                 fh.write("epoch;loss;mae;acc;val_loss;val_mae;val_acc;seconds\n")
 
+        # training data lives on device for the whole run; per step only the
+        # index vectors cross the host link
+        dev_imgs = replicate(jnp.asarray(train_ds.images), self.mesh)
+        dev_masks = replicate(jnp.asarray(train_ds.masks), self.mesh)
+        dev_val = None
+        if val_ds is not None and len(val_ds) > 0:
+            dev_val = (replicate(jnp.asarray(val_ds.images), self.mesh),
+                       replicate(jnp.asarray(val_ds.masks), self.mesh))
+
+        keys = ("loss", "mae", "acc")
+        if len(train_ds) < bs:
+            raise ValueError(
+                f"dataset ({len(train_ds)} items) yields no full batch at "
+                f"sharded batch size {bs}; add data or reduce batch_size")
+
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            agg = []
-            for images, masks, aug in train_ds.batches(rng, bs):
-                batch = shard_batch((images, masks, aug), self.mesh)
-                self.state, metrics = self.train_step(self.state, *batch)
-                agg.append(metrics)
-            if not agg:
-                raise ValueError(
-                    f"dataset ({len(train_ds)} items) yields no full batch at "
-                    f"sharded batch size {bs}; add data or reduce batch_size")
-            train_m = {k: float(np.mean([jax.device_get(a[k]) for a in agg]))
-                       for k in agg[0]}
+            msum = jnp.zeros(len(keys))
+            n_steps = 0
+            idx = train_ds.index.copy()
+            rng.shuffle(idx)
+            for b in range(len(idx) // bs):
+                sel = idx[b * bs:(b + 1) * bs]
+                self.state, metrics = self.train_step(
+                    self.state, dev_imgs, dev_masks,
+                    jnp.asarray(sel[:, 0]), jnp.asarray(sel[:, 1]))
+                msum = msum + jnp.stack([metrics[k] for k in keys])
+                n_steps += 1
+            train_m = dict(zip(keys, np.asarray(jax.device_get(msum)) / n_steps))
 
             val_m = {}
-            if val_ds is not None and len(val_ds) > 0:
-                vagg = []
-                for images, masks, aug in val_ds.batches(rng, bs, shuffle=False):
-                    batch = shard_batch((images, masks, aug), self.mesh)
-                    vagg.append(self.eval_step(self.state, *batch))
-                if vagg:
-                    val_m = {f"val_{k}": float(np.mean([jax.device_get(a[k]) for a in vagg]))
-                             for k in vagg[0]}
+            if dev_val is not None:
+                vsum = jnp.zeros(len(keys))
+                vidx = val_ds.index
+                n_v = 0
+                for b in range(max(len(vidx) // bs, 0)):
+                    sel = vidx[b * bs:(b + 1) * bs]
+                    metrics = self.eval_step(self.state, dev_val[0], dev_val[1],
+                                             jnp.asarray(sel[:, 0]),
+                                             jnp.asarray(sel[:, 1]))
+                    vsum = vsum + jnp.stack([metrics[k] for k in keys])
+                    n_v += 1
+                if n_v:
+                    val_m = {f"val_{k}": v for k, v in zip(
+                        keys, np.asarray(jax.device_get(vsum)) / n_v)}
 
             dt = time.time() - t0
             for k in ("loss", "mae", "acc"):

@@ -130,9 +130,19 @@ class WGANTrainer:
         return self.discriminator.apply({"params": params}, x, train=train,
                                         rngs={"dropout": rng} if train else None)
 
+    def _shard_constraint(self, x):
+        if len(self.mesh.devices.reshape(-1)) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P("data"))
+            return jax.lax.with_sharding_constraint(x, sh)
+        return x
+
     # -- the fused (3 critic + 1 generator) step ------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: WGANState, real_images, rng):
+    def train_step(self, state: WGANState, data, idx, rng):
+        """One step; the batch is gathered ON DEVICE from the resident
+        mask array (only the index vector crosses the host link)."""
+        real_images = self._shard_constraint(data[idx])
         cfg = self.config
         batch = real_images.shape[0]
 
@@ -218,20 +228,27 @@ class WGANTrainer:
 
         n_dev = len(self.mesh.devices.reshape(-1))
         bs = max(cfg.batch_size // n_dev, 1) * n_dev
+        if len(dataset) < bs:
+            raise ValueError(
+                f"dataset ({len(dataset)} items) yields no full batch at "
+                f"sharded batch size {bs}; add data or reduce batch_size")
+
+        dev_data = replicate(jnp.asarray(dataset.data), self.mesh)
+        metric_keys = tuple(history)
 
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            agg = []
-            for real in dataset.batches(rng, bs):
+            msum = jnp.zeros(len(metric_keys))
+            idx = rng.permutation(len(dataset.data))
+            n_steps = len(idx) // bs
+            for k_ in range(n_steps):
                 key, sub = jax.random.split(key)
-                batch = shard_batch(real, self.mesh)
-                self.state, metrics = self.train_step(self.state, batch, sub)
-                agg.append(metrics)
-            if not agg:
-                raise ValueError(
-                    f"dataset ({len(dataset)} items) yields no full batch at "
-                    f"sharded batch size {bs}; add data or reduce batch_size")
-            ep = {k: float(np.mean([jax.device_get(a[k]) for a in agg])) for k in agg[0]}
+                self.state, metrics = self.train_step(
+                    self.state, dev_data,
+                    jnp.asarray(idx[k_ * bs:(k_ + 1) * bs]), sub)
+                msum = msum + jnp.stack([metrics[kk] for kk in metric_keys])
+            ep = dict(zip(metric_keys,
+                          (np.asarray(jax.device_get(msum)) / n_steps).tolist()))
             for k in history:
                 history[k].append(ep[k])
             if csv_path:
