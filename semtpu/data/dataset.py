@@ -42,15 +42,23 @@ class SegmentationDataset:
     """(image, mask) pairs with flip augmentation and fixed-seed split."""
 
     def __init__(self, images: np.ndarray, masks: np.ndarray, subset: str = "train",
-                 train_val_split: float = 0.8, seed: int = 1234, augment: bool = True):
+                 train_val_split: float = 0.8, seed: int = 1234, augment: bool = True,
+                 image_preproc: dict | None = None, mask_preproc: dict | None = None):
+        """images/masks: float32 (already preprocessed) or raw uint8 stacks
+        with `image_preproc`/`mask_preproc` loader-parameter dicts — the
+        uint8 form uploads 4x less and decodes on device (DeviceImages)."""
         assert subset in ("train", "val")
         n = images.shape[0]
         order = list(range(n))
         _random.Random(seed).shuffle(order)
         cut = int(train_val_split * n)
         keep = order[:cut] if subset == "train" else order[cut:]
-        self.images = np.asarray(images[keep], dtype=np.float32)
-        self.masks = np.asarray(masks[keep], dtype=np.float32)
+        dt = np.uint8 if images.dtype == np.uint8 else np.float32
+        self.images = np.asarray(images[keep], dtype=dt)
+        dtm = np.uint8 if masks.dtype == np.uint8 else np.float32
+        self.masks = np.asarray(masks[keep], dtype=dtm)
+        self.image_preproc = image_preproc
+        self.mask_preproc = mask_preproc
         n_aug = 4 if augment else 1
         base = np.arange(len(keep))
         self.index = np.stack([np.repeat(base, n_aug),
@@ -62,7 +70,11 @@ class SegmentationDataset:
     def class_weighting(self) -> float:
         """#background / #foreground over the mask set
         (`UNet_Segmentation.py:363-376`)."""
-        ones = float(np.count_nonzero(self.masks))
+        if self.masks.dtype == np.uint8:
+            thr = (self.mask_preproc or {}).get("threshold", 0.5)
+            ones = float(np.count_nonzero(self.masks > thr * 255))
+        else:
+            ones = float(np.count_nonzero(self.masks))
         zeros = float(self.masks.size - ones)
         return zeros / max(ones, 1.0)
 
@@ -82,9 +94,14 @@ class SegmentationDataset:
 class PairedDomainDataset:
     """CycleGAN (A, B) batches; domains shuffled independently per epoch."""
 
-    def __init__(self, domain_a: np.ndarray, domain_b: np.ndarray):
-        self.a = np.asarray(domain_a, dtype=np.float32)
-        self.b = np.asarray(domain_b, dtype=np.float32)
+    def __init__(self, domain_a: np.ndarray, domain_b: np.ndarray,
+                 a_preproc: dict | None = None, b_preproc: dict | None = None):
+        da = np.uint8 if np.asarray(domain_a).dtype == np.uint8 else np.float32
+        db = np.uint8 if np.asarray(domain_b).dtype == np.uint8 else np.float32
+        self.a = np.asarray(domain_a, dtype=da)
+        self.b = np.asarray(domain_b, dtype=db)
+        self.a_preproc = a_preproc
+        self.b_preproc = b_preproc
 
     def __len__(self):
         return min(len(self.a), len(self.b))
@@ -102,8 +119,10 @@ class PairedDomainDataset:
 class ArrayDataset:
     """Plain shuffled batching over one array (WGAN training masks)."""
 
-    def __init__(self, data: np.ndarray):
-        self.data = np.asarray(data, dtype=np.float32)
+    def __init__(self, data: np.ndarray, preproc: dict | None = None):
+        dt = np.uint8 if np.asarray(data).dtype == np.uint8 else np.float32
+        self.data = np.asarray(data, dtype=dt)
+        self.preproc = preproc
 
     def __len__(self):
         return len(self.data)
@@ -112,3 +131,98 @@ class ArrayDataset:
         idx = rng.permutation(len(self.data))
         for k in range(len(idx) // batch_size):
             yield self.data[idx[k * batch_size:(k + 1) * batch_size]]
+
+
+import jax as _jax
+from flax import struct as _struct
+
+
+@_struct.dataclass
+class DeviceImages:
+    """Device-resident image stack with exact on-device preprocessing.
+
+    For uint8 sources the host loader's whole chain — percentile contrast
+    clip, min-max normalization, optional binarization, optional inversion
+    (`semtpu.data.io.load_and_preprocess_images`) — is a per-image pointwise
+    map: y01 = (clip(x, lb, ub) - mn) / (mx - mn); y = lo + (hi-lo) * f(y01).
+    Storing the raw uint8 plus the per-image (lb, ub, scale, offset) scalars
+    makes the device copy 4x smaller and bit-identical to the host pipeline,
+    with decoding fused into the training step's batch gather.
+    """
+    data: any                 # (N, H, W, C) uint8 or float32
+    scale01: any = None       # (N,) float32: y01 = clip(x)*scale01 + offset01
+    offset01: any = None
+    lb: any = None            # (N,) clip bounds in raw units
+    ub: any = None
+    out_range: tuple = _struct.field(pytree_node=False, default=(0.0, 1.0))
+    threshold: float | None = _struct.field(pytree_node=False, default=None)
+    invert: bool = _struct.field(pytree_node=False, default=False)
+    quantized: bool = _struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def from_float32(cls, arr):
+        return cls(data=jnp.asarray(arr, jnp.float32))
+
+    @classmethod
+    def from_uint8(cls, arr, normalization_range=(0.0, 1.0),
+                   contrast_optimization_range=None, threshold=None,
+                   invert=False):
+        """Build from a raw (N, H, W[, C]) uint8 stack on host."""
+        a = np.asarray(arr)
+        assert a.dtype == np.uint8
+        if a.ndim == 3:
+            a = a[:, :, :, None]
+        n = a.shape[0]
+        lb = np.zeros(n, np.float32)
+        ub = np.full(n, 255.0, np.float32)
+        if contrast_optimization_range is not None:
+            clo, chi = contrast_optimization_range
+            if clo > 0 and chi < 100:
+                flat = a.reshape(n, -1)
+                lb = np.percentile(flat, clo, axis=1).astype(np.float32)
+                ub = np.percentile(flat, chi, axis=1).astype(np.float32)
+        flat = a.reshape(n, -1).astype(np.float32)
+        mn = np.maximum(flat.min(axis=1), lb)
+        mx = np.minimum(flat.max(axis=1), ub)
+        span = np.maximum(mx - mn, 1e-12)
+        return cls(data=jnp.asarray(a),
+                   scale01=jnp.asarray(1.0 / span, jnp.float32),
+                   offset01=jnp.asarray(-mn / span, jnp.float32),
+                   lb=jnp.asarray(lb), ub=jnp.asarray(ub),
+                   out_range=tuple(normalization_range),
+                   threshold=threshold, invert=bool(invert), quantized=True)
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def gather(self, idx):
+        """Decode a batch on device; idx: (B,) int array."""
+        x = self.data[idx]
+        if not self.quantized:
+            return x
+        x = x.astype(jnp.float32)
+        s = self.scale01[idx][:, None, None, None]
+        o = self.offset01[idx][:, None, None, None]
+        lb = self.lb[idx][:, None, None, None]
+        ub = self.ub[idx][:, None, None, None]
+        y01 = jnp.clip(x, lb, ub) * s + o
+        if self.threshold is not None:
+            y01 = (y01 > self.threshold).astype(jnp.float32)
+        lo, hi = self.out_range
+        y = lo + (hi - lo) * y01
+        if self.invert:
+            y = -y
+        return y
+
+
+def as_device_images(arr, mesh, preproc: dict | None = None) -> "DeviceImages":
+    """Upload an array to the mesh (replicated); uint8 arrays with a
+    `preproc` loader-spec dict become quantized DeviceImages."""
+    from semtpu.parallel import replicate
+    if isinstance(arr, DeviceImages):
+        di = arr
+    elif np.asarray(arr).dtype == np.uint8:
+        di = DeviceImages.from_uint8(np.asarray(arr), **(preproc or {}))
+    else:
+        di = DeviceImages.from_float32(np.asarray(arr, np.float32))
+    return replicate(di, mesh)

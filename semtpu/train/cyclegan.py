@@ -224,8 +224,8 @@ class CycleGANTrainer:
     def train_step(self, state: CycleGANState, data_a, data_b, idx_a, idx_b, rng):
         """One step; batches gathered ON DEVICE from the resident domain
         arrays (only index vectors cross the host link per step)."""
-        real_a = self._shard_constraint(data_a[idx_a])
-        real_b = self._shard_constraint(data_b[idx_b])
+        real_a = self._shard_constraint(data_a.gather(idx_a))
+        real_b = self._shard_constraint(data_b.gather(idx_b))
         cfg = self.config
         sg = jax.lax.stop_gradient
         k = jax.random.split(rng, 6)
@@ -329,8 +329,9 @@ class CycleGANTrainer:
                 f"sharded batch size {bs}; add data or reduce batch_size")
 
         # both domains live on device for the whole run
-        dev_a = replicate(jnp.asarray(dataset.a), self.mesh)
-        dev_b = replicate(jnp.asarray(dataset.b), self.mesh)
+        from semtpu.data.dataset import as_device_images
+        dev_a = as_device_images(dataset.a, self.mesh, dataset.a_preproc)
+        dev_b = as_device_images(dataset.b, self.mesh, dataset.b_preproc)
         metric_keys = ("g_a", "g_b", "g_adv_a", "g_adv_b", "g_cyc_a", "g_cyc_b",
                        "g_id_a", "g_id_b", "d_a", "d_b", "d_real_a", "d_fake_a",
                        "d_real_b", "d_fake_b")

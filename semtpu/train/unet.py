@@ -108,8 +108,8 @@ class UNetTrainer:
     def train_step(self, state: TrainState, images_all, masks_all, img_idx, aug):
         """One step; batches are gathered ON DEVICE from the resident
         dataset arrays (only the tiny index vectors cross the host link)."""
-        images = self._shard_constraint(images_all[img_idx])
-        masks = self._shard_constraint(masks_all[img_idx])
+        images = self._shard_constraint(images_all.gather(img_idx))
+        masks = self._shard_constraint(masks_all.gather(img_idx))
         images = apply_flip(images, aug)
         masks = apply_flip(masks, aug)
         w = self._weighting
@@ -134,8 +134,8 @@ class UNetTrainer:
 
     @partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, images_all, masks_all, img_idx, aug):
-        images = self._shard_constraint(images_all[img_idx])
-        masks = self._shard_constraint(masks_all[img_idx])
+        images = self._shard_constraint(images_all.gather(img_idx))
+        masks = self._shard_constraint(masks_all.gather(img_idx))
         images = apply_flip(images, aug)
         masks = apply_flip(masks, aug)
         preds = state.apply_fn(
@@ -172,12 +172,13 @@ class UNetTrainer:
 
         # training data lives on device for the whole run; per step only the
         # index vectors cross the host link
-        dev_imgs = replicate(jnp.asarray(train_ds.images), self.mesh)
-        dev_masks = replicate(jnp.asarray(train_ds.masks), self.mesh)
+        from semtpu.data.dataset import as_device_images
+        dev_imgs = as_device_images(train_ds.images, self.mesh, train_ds.image_preproc)
+        dev_masks = as_device_images(train_ds.masks, self.mesh, train_ds.mask_preproc)
         dev_val = None
         if val_ds is not None and len(val_ds) > 0:
-            dev_val = (replicate(jnp.asarray(val_ds.images), self.mesh),
-                       replicate(jnp.asarray(val_ds.masks), self.mesh))
+            dev_val = (as_device_images(val_ds.images, self.mesh, val_ds.image_preproc),
+                       as_device_images(val_ds.masks, self.mesh, val_ds.mask_preproc))
 
         keys = ("loss", "mae", "acc")
         if len(train_ds) < bs:

@@ -142,7 +142,7 @@ class WGANTrainer:
     def train_step(self, state: WGANState, data, idx, rng):
         """One step; the batch is gathered ON DEVICE from the resident
         mask array (only the index vector crosses the host link)."""
-        real_images = self._shard_constraint(data[idx])
+        real_images = self._shard_constraint(data.gather(idx))
         cfg = self.config
         batch = real_images.shape[0]
 
@@ -233,7 +233,8 @@ class WGANTrainer:
                 f"dataset ({len(dataset)} items) yields no full batch at "
                 f"sharded batch size {bs}; add data or reduce batch_size")
 
-        dev_data = replicate(jnp.asarray(dataset.data), self.mesh)
+        from semtpu.data.dataset import as_device_images
+        dev_data = as_device_images(dataset.data, self.mesh, dataset.preproc)
         metric_keys = tuple(history)
 
         for epoch in range(cfg.epochs):
