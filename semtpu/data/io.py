@@ -60,6 +60,26 @@ def load_and_preprocess_images(
     return np.asarray(out, dtype=np.float32)
 
 
+def load_uint8_stack(input_dir_or_filelist) -> np.ndarray:
+    """Load a directory/file list of same-shape uint8 images as (N,H,W,1).
+
+    The raw-byte form feeds `DeviceImages.from_uint8` (device-resident
+    datasets with on-device preprocessing): 4x less host-link traffic than
+    float32 with bit-identical results.
+    """
+    if isinstance(input_dir_or_filelist, (str, os.PathLike)):
+        files = get_image_file_paths_from_directory(input_dir_or_filelist)
+    else:
+        files = list(input_dir_or_filelist)
+    out = []
+    for f in files:
+        a = np.asarray(Image.open(f))
+        if a.ndim == 3:
+            a = np.mean(a, axis=-1)
+        out.append(np.asarray(a, np.uint8)[:, :, None])
+    return np.stack(out)
+
+
 def save_image(array: np.ndarray, path: str) -> None:
     """Save a 2D array (uint8 passthrough; float min-max -> uint8)."""
     a = np.asarray(array)

@@ -19,7 +19,8 @@ import numpy as np
 
 from semtpu.pipeline.config import PipelineConfig, initialize_directories
 from semtpu.data.io import (get_image_file_paths_from_directory,
-                            load_and_preprocess_images, save_image)
+                            load_and_preprocess_images, load_uint8_stack,
+                            save_image)
 from semtpu.core.tiling import tile_image
 from semtpu.measure.filtering import filter_gan_masks
 
@@ -193,12 +194,16 @@ class Pipeline:
         print("Step 3: Training CycleGAN...")
         trainer = self._cyclegan_trainer()
         bce = cfg.cyclegan_use_binary_crossentropy
-        train_a = self._load_domain(cfg.train_a_dir, False, cfg.invert_images)
-        train_b = self._load_domain(cfg.train_b_dir, bce)
+        # raw uint8 stacks + loader specs: device-resident with on-device
+        # decode (4x less upload; exact loader parity)
+        train_a = load_uint8_stack(cfg.train_a_dir)
+        train_b = load_uint8_stack(cfg.train_b_dir)
+        a_pre = dict(normalization_range=(-1, 1), invert=cfg.invert_images)
+        b_pre = dict(normalization_range=(0, 1) if bce else (-1, 1))
         test_a = self._load_domain(cfg.test_a_dir, False, cfg.invert_images)
         test_b = self._load_domain(cfg.test_b_dir, bce)
         prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
-        trainer.fit(PairedDomainDataset(train_a, train_b),
+        trainer.fit(PairedDomainDataset(train_a, train_b, a_pre, b_pre),
                     model_dir=os.path.join(cfg.cyclegan_model_dir, prefix),
                     image_dir=os.path.join(cfg.cyclegan_dir, "images", prefix),
                     test_a=test_a, test_b=test_b)
@@ -216,11 +221,12 @@ class Pipeline:
             trainer.load(cfg.cyclegan_model_dir)
             self._cyclegan = trainer
 
-        # B -> A: render all simulated masks as fake SEM images (tiles)
+        # B -> A: render all simulated masks as fake SEM images (tiles),
+        # batched and uint8 end-to-end
         files_b = get_image_file_paths_from_directory(cfg.train_b_dir)
-        masks = load_and_preprocess_images(files_b, normalization_range=(-1, 1))
-        trainer.run_inference(masks, cfg.generated_a_dir, files_b,
-                              source_domain="B", tile_images=False)
+        masks = load_uint8_stack(files_b)
+        trainer.run_inference_batched(masks, cfg.generated_a_dir, files_b,
+                                      source_domain="B")
 
         # A -> B: pre-segment the real images
         files_a = get_image_file_paths_from_directory(cfg.input_dir_images)
@@ -267,13 +273,15 @@ class Pipeline:
         pairs = [(f, os.path.join(cfg.filtered_masks_dir, os.path.basename(f)))
                  for f in img_files]
         pairs = [(i, m) for i, m in pairs if os.path.isfile(m)]
-        imgs = load_and_preprocess_images(
-            [p[0] for p in pairs], normalization_range=(0, 1),
-            contrast_optimization_range=cfg.unet_contrast_optimization_range)
-        masks = load_and_preprocess_images(
-            [p[1] for p in pairs], normalization_range=(0, 1), threshold_value=0.5)
-        train_ds = SegmentationDataset(imgs, masks, "train")
-        val_ds = SegmentationDataset(imgs, masks, "val")
+        imgs = load_uint8_stack([p[0] for p in pairs])
+        masks = load_uint8_stack([p[1] for p in pairs])
+        i_pre = dict(normalization_range=(0, 1),
+                     contrast_optimization_range=cfg.unet_contrast_optimization_range)
+        m_pre = dict(normalization_range=(0, 1), threshold=0.5)
+        train_ds = SegmentationDataset(imgs, masks, "train",
+                                       image_preproc=i_pre, mask_preproc=m_pre)
+        val_ds = SegmentationDataset(imgs, masks, "val",
+                                     image_preproc=i_pre, mask_preproc=m_pre)
         trainer = self._unet_trainer()
         prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
         trainer.fit(train_ds, val_ds,

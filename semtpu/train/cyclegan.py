@@ -420,6 +420,54 @@ class CycleGANTrainer:
         module = self.gen_a if which == "a" else self.gen_b
         return module.apply({"params": params}, x)
 
+    @partial(jax.jit, static_argnums=(0, 2, 5))
+    def _translate_u8(self, params, which: str, di, idx, invert_out: bool):
+        """Device-resident batch translation: decode uint8 inputs, run the
+        generator, per-image min-max -> uint8 — only bytes cross the link."""
+        x = di.gather(idx)
+        module = self.gen_a if which == "a" else self.gen_b
+        y = module.apply({"params": params}, x)
+        if invert_out:
+            y = -y
+        mn = jnp.min(y, axis=(1, 2, 3), keepdims=True)
+        mx = jnp.max(y, axis=(1, 2, 3), keepdims=True)
+        y = (y - mn) / jnp.maximum(mx - mn, 1e-12)
+        return (y * 255).astype(jnp.uint8)
+
+    def run_inference_batched(self, images_u8: "np.ndarray",
+                              output_directory: str | None = None,
+                              file_names: list | None = None,
+                              source_domain: str = "A", batch: int = 32):
+        """Translate a uniform uint8 stack in device-resident batches.
+
+        The fast path for rendering the ~1000 simulated masks as fake SEM
+        tiles (pipeline step 4 B->A): the reference pushes one float tile
+        per call (`CycleGAN.py:273`); this ships raw bytes both ways.
+        """
+        from semtpu.data.dataset import DeviceImages, as_device_images
+        from PIL import Image as PILImage
+        cfg = self.config
+        which = "a" if "a" in source_domain.lower() else "b"
+        params = self.state.gen_a if which == "a" else self.state.gen_b
+        invert_in = cfg.invert_images and which == "a"
+        invert_out = cfg.invert_images and which == "b"
+        di = as_device_images(images_u8, self.mesh,
+                              dict(normalization_range=(-1, 1),
+                                   invert=invert_in))
+        n = len(images_u8)
+        outs = []
+        for s0 in range(0, n, batch):
+            idx = jnp.arange(s0, min(s0 + batch, n))
+            res = np.asarray(self._translate_u8(params, which, di, idx,
+                                                invert_out))[:, :, :, 0]
+            outs.append(res)
+            if output_directory and file_names:
+                for k in range(res.shape[0]):
+                    PILImage.fromarray(res[k]).save(os.path.join(
+                        output_directory,
+                        os.path.basename(file_names[s0 + k])))
+        return np.concatenate(outs)
+
     def run_inference(self, images, output_directory: str | None = None,
                       file_names: list[str] | None = None, source_domain: str = "A",
                       tile_images: bool = False, min_overlap: int = 2,
