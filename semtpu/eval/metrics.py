@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from semtpu.ops import label as cc_label
+from semtpu import native
 
 
 @jax.jit
@@ -56,13 +56,12 @@ def instance_iou(pred: np.ndarray, gt: np.ndarray, min_area: float = 0.0) -> flo
     masks). For each predicted instance with area > min_area, the best IoU
     against any overlapping GT instance; averaged over predicted instances.
     """
-    pl, n_p = cc_label(np.asarray(pred) > 0, connectivity=1)
-    gl, n_g = cc_label(np.asarray(gt) > 0, connectivity=1)
-    n_p, n_g = int(n_p), int(n_g)
+    pl, n_p = native.cc_label(np.asarray(pred) > 0, connectivity=1)
+    gl, n_g = native.cc_label(np.asarray(gt) > 0, connectivity=1)
     if n_p == 0:
         return 0.0
-    pl = np.asarray(pl).ravel()
-    gl = np.asarray(gl).ravel()
+    pl = pl.ravel()
+    gl = gl.ravel()
 
     p_areas = np.bincount(pl, minlength=n_p + 1).astype(np.float64)
     g_areas = np.bincount(gl, minlength=n_g + 1).astype(np.float64)

@@ -74,13 +74,18 @@ def threshold_sweep(
     acc = {k: np.zeros(len(THRESHOLDS)) for k in
            ("iou_whole", "iou_all", "iou_filt", "tpr", "tnr", "fpr", "fnr", "youden")}
 
+    import jax.numpy as jnp
     for pred, gt in zip(predictions, ground_truths):
         pred = np.asarray(pred, dtype=np.float32)
         if pred.max() > 1.0:
             pred = pred / 255.0
+        # one uint8 upload per image; thresholds scale on device (1/255
+        # quantization is below the sweep's 0.1 threshold step)
+        pred_dev = jnp.asarray(np.round(pred * 255).astype(np.uint8))
         gt_bin = (np.asarray(gt) > 0).astype(np.uint8)
         for ti, t in enumerate(THRESHOLDS):
-            seg = segment(pred, threshold=float(t), apply_watershed=do_watershed,
+            seg = segment(pred_dev, threshold=float(t) * 255.0,
+                          apply_watershed=do_watershed,
                           min_distance=min_distance, dark_background=True)
             seg = np.asarray(eight_to_four_connected(seg))
             seg_bin = (seg > 0).astype(np.uint8)

@@ -151,7 +151,7 @@ class Pipeline:
             max_overlap=cfg.max_particle_overlap,
             seed=cfg.seed)
         sim = MaskSimulator(scfg, self._mask_hw)
-        sim.simulate(self._wgan.sample, num_masks, output_dir=cfg.train_b_dir)
+        sim.simulate(self._wgan.sample_device, num_masks, output_dir=cfg.train_b_dir)
 
         # 5 random test masks (`WassersteinGAN.py:534-540`)
         rnd = random.Random(cfg.seed)

@@ -95,8 +95,20 @@ class MaskSimulator:
         H, W = self.canvas_h, self.canvas_w
         noise = None
         if cfg.use_perlin_noise or cfg.use_random_rotation == "PERLIN":
-            noise = np.asarray(perlin_field(noise_key, H, W,
-                                            cfg.perlin_noise_frequency))
+            # the field is consumed on host; generate it on the CPU backend so
+            # nothing large crosses the accelerator link during planning
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    noise = np.asarray(perlin_field(
+                        jax.device_put(noise_key, cpu), H, W,
+                        cfg.perlin_noise_frequency))
+            else:
+                noise = np.asarray(perlin_field(noise_key, H, W,
+                                                cfg.perlin_noise_frequency))
 
         lim_y = cfg.img_height + 2 * self.d
         lim_x = cfg.img_width + 2 * self.d
@@ -269,6 +281,7 @@ class MaskSimulator:
             plan = self.plan(rng, knoise)
             samples = sample_fn(len(plan["valid"]), int(ksmp[0]))
             img, _ = self.render(jnp.asarray(samples), plan)
+            del samples
             out.append(img)
             if output_dir is not None:
                 Image.fromarray(img).save(

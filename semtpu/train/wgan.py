@@ -206,8 +206,13 @@ class WGANTrainer:
         return out
 
     def sample(self, n: int, seed: int = 0) -> np.ndarray:
+        return np.asarray(self.sample_device(n, seed))
+
+    def sample_device(self, n: int, seed: int = 0) -> jax.Array:
+        """Samples as a DEVICE array (no host round-trip) — feed this to the
+        mask simulator so generator outputs never cross the host link."""
         z = jax.random.normal(jax.random.PRNGKey(seed), (n, self.config.latent_dim))
-        return np.asarray(self.generate(self.state, z))
+        return self.generate(self.state, z)
 
     # -- fit ------------------------------------------------------------------
     def fit(self, dataset: ArrayDataset, model_dir: str | None = None,
