@@ -10,6 +10,7 @@ device computation per image (`semtpu.core.imageproc.preprocess_image`).
 """
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
@@ -46,17 +47,32 @@ def load_and_preprocess_images(
     else:
         files = list(input_dir_or_filelist)
 
+    # host loader: run the (per-shape jitted) preprocessing on the CPU
+    # backend — ragged user inputs would otherwise trigger one accelerator
+    # compilation per image shape; bulk data reaches the accelerator later
+    # via DeviceImages
+    import jax
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     out = []
-    for f in files:
-        img = decode_image(f)
-        assert 2 <= img.ndim <= 3 and output_channels in (1, 3), "Invalid Image format"
-        arr = preprocess_image(
-            img,
-            normalization_range=normalization_range,
-            threshold_value=threshold_value,
-            contrast_optimization_range=contrast_optimization_range,
-        )
-        out.append(np.asarray(arr))
+    with ctx:
+        for f in files:
+            img = decode_image(f)
+            assert 2 <= img.ndim <= 3 and output_channels in (1, 3), "Invalid Image format"
+            arr = preprocess_image(
+                img,
+                normalization_range=normalization_range,
+                threshold_value=threshold_value,
+                contrast_optimization_range=contrast_optimization_range,
+            )
+            out.append(np.asarray(arr))
+    if len({a.shape for a in out}) > 1:
+        # mixed sizes (e.g. user-drawn particle outlines): return a list —
+        # callers like prepare_mask_dataset pad to a common frame themselves
+        return [np.asarray(a, np.float32) for a in out]
     return np.asarray(out, dtype=np.float32)
 
 

@@ -234,6 +234,10 @@ class WGANTrainer:
         n_dev = len(self.mesh.devices.reshape(-1))
         bs = max(cfg.batch_size // n_dev, 1) * n_dev
         if len(dataset) < bs:
+            # small mask sets are normal (a handful of user-drawn outlines x4
+            # flips); clamp to one full-dataset batch like keras fit does
+            bs = max(len(dataset) // n_dev, 1) * n_dev
+        if len(dataset) < bs:
             raise ValueError(
                 f"dataset ({len(dataset)} items) yields no full batch at "
                 f"sharded batch size {bs}; add data or reduce batch_size")
