@@ -78,3 +78,61 @@ def instance_iou(pred: np.ndarray, gt: np.ndarray, min_area: float = 0.0) -> flo
     if not keep.any():
         return 0.0
     return float(best[keep].mean())
+
+
+def _contingency(pred_labels, gt_labels):
+    pl = np.asarray(pred_labels).ravel().astype(np.int64)
+    gl = np.asarray(gt_labels).ravel().astype(np.int64)
+    n_p = int(pl.max()) + 1
+    n_g = int(gl.max()) + 1
+    joint = np.bincount(pl * n_g + gl, minlength=n_p * n_g).reshape(n_p, n_g)
+    return joint.astype(np.float64)
+
+
+def rand_error(pred, gt, connectivity: int = 1) -> float:
+    """Rand error (1 - Rand index) between instance segmentations.
+
+    Capability parity with the reference's ImageJ metrics plugin
+    (`Archive/Other Scripts/calculate_Metrics.java:16-162`, which scores
+    Rand / warping / pixel errors via trainableSegmentation). Instances are
+    connected components of the binary masks; background counts as one
+    segment (the plugin's full-image convention).
+    """
+    pl, _ = native.cc_label(np.asarray(pred) > 0, connectivity=connectivity)
+    gl, _ = native.cc_label(np.asarray(gt) > 0, connectivity=connectivity)
+    joint = _contingency(pl, gl)
+    n = joint.sum()
+    if n < 2:
+        return 0.0
+
+    def c2(x):
+        return x * (x - 1) / 2.0
+
+    a = c2(joint).sum()
+    row = c2(joint.sum(axis=1)).sum()
+    col = c2(joint.sum(axis=0)).sum()
+    total = c2(n)
+    rand_index = (total + 2 * a - row - col) / total
+    return float(1.0 - rand_index)
+
+
+def variation_of_information(pred, gt, connectivity: int = 1) -> float:
+    """VOI = H(S|T) + H(T|S) between instance segmentations (nats)."""
+    pl, _ = native.cc_label(np.asarray(pred) > 0, connectivity=connectivity)
+    gl, _ = native.cc_label(np.asarray(gt) > 0, connectivity=connectivity)
+    joint = _contingency(pl, gl)
+    n = joint.sum()
+    p = joint / n
+    pi = p.sum(axis=1, keepdims=True)
+    pj = p.sum(axis=0, keepdims=True)
+    nz = p > 0
+    h_cond_t = -np.sum(p[nz] * np.log(p[nz] / np.broadcast_to(pj, p.shape)[nz]))
+    h_cond_s = -np.sum(p[nz] * np.log(p[nz] / np.broadcast_to(pi, p.shape)[nz]))
+    return float(h_cond_t + h_cond_s)
+
+
+def pixel_error(pred, gt) -> float:
+    """Fraction of disagreeing pixels between binary maps."""
+    p = np.asarray(pred) > 0
+    g = np.asarray(gt) > 0
+    return float((p != g).mean())

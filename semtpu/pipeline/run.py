@@ -46,11 +46,20 @@ class Pipeline:
         filenames = get_image_file_paths_from_directory(cfg.input_dir_images)
         rnd = random.Random(cfg.seed)
 
+        # disk-prep tiling is host IO work; keep it on the CPU backend
+        # (avoids shipping float tile stacks over the accelerator link)
+        import jax
+        try:
+            cpu_ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            import contextlib
+            cpu_ctx = contextlib.nullcontext()
         for i, img in enumerate(imgs):
-            tiles = np.asarray(tile_image(img, cfg.tile_size_h, cfg.tile_size_w,
-                                          min_overlap=0,
-                                          normalization_range=(0, 255)),
-                               dtype=np.uint8)
+            with cpu_ctx:
+                tiles = np.asarray(tile_image(img, cfg.tile_size_h, cfg.tile_size_w,
+                                              min_overlap=0,
+                                              normalization_range=(0, 255)),
+                                   dtype=np.uint8)
             f = os.path.basename(filenames[i])
             ext = os.path.splitext(f)[-1]
             for j, tile in enumerate(tiles):

@@ -64,3 +64,26 @@ def test_threshold_sweep_recovers_gt():
     assert by > 0.999
     # degenerate thresholds are poor
     assert res.iou_whole[0] < 0.2  # t=0: everything foreground
+
+
+def test_rand_error_and_voi_identity():
+    from semtpu.eval.metrics import rand_error, variation_of_information, pixel_error
+    img = np.zeros((48, 48), np.uint8)
+    img[5:15, 5:15] = 1
+    img[30:40, 30:40] = 1
+    assert rand_error(img, img) == 0.0
+    assert variation_of_information(img, img) < 1e-12
+    assert pixel_error(img, img) == 0.0
+
+
+def test_rand_error_detects_merge():
+    from semtpu.eval.metrics import rand_error, variation_of_information
+    gt = np.zeros((48, 48), np.uint8)
+    gt[10:20, 10:22] = 1
+    gt[10:20, 24:36] = 1          # two instances
+    merged = np.zeros_like(gt)
+    merged[10:20, 10:36] = 1      # merged into one
+    re = rand_error(merged, gt)
+    voi = variation_of_information(merged, gt)
+    assert re > 0.0
+    assert voi > 0.0
