@@ -167,7 +167,16 @@ class MaskSimulator:
             rot = np.zeros(n, np.float32)
 
         # pad to a power-of-two bucket so the jitted render is compiled only
-        # O(log n) times across canvases with varying particle counts
+        # O(log n) times across canvases with varying particle counts; hard
+        # cap per canvas — beyond it the overlap constraint has long
+        # saturated the canvas and the giant-scan compile cost explodes
+        if n > self.MAX_CAPACITY:
+            perm = rng.permutation(n)[:self.MAX_CAPACITY]
+            pos_x = np.asarray(pos_x)[perm]
+            pos_y = np.asarray(pos_y)[perm]
+            scal = scal[perm]
+            rot = np.asarray(rot)[perm]
+            n = self.MAX_CAPACITY
         cap = 64
         while cap < n:
             cap *= 2
@@ -237,7 +246,8 @@ class MaskSimulator:
                                     (self.config.img_height, self.config.img_width))
         return (out * 255).astype(jnp.uint8), placed
 
-    PREP_CHUNK = 2048   # bound the warp/morphology working set in HBM
+    PREP_CHUNK = 2048    # bound the warp/morphology working set in HBM
+    MAX_CAPACITY = 4096  # particle-candidate cap per canvas
 
     def render(self, samples: jax.Array, plan: dict) -> tuple[np.ndarray, int]:
         """Render one canvas from generator samples + a placement plan."""
