@@ -219,66 +219,82 @@ class CycleGANTrainer:
                 lambda a: jax.lax.with_sharding_constraint(a, sh), x)
         return x
 
-    # -- the fused train step -------------------------------------------------
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: CycleGANState, data_a, data_b, idx_a, idx_b, rng):
-        """One step; batches gathered ON DEVICE from the resident domain
-        arrays (only index vectors cross the host link per step)."""
+    # -- the train step (four jitted stages) -----------------------------------
+    # The step is split into (fakes, gen_a update, gen_b update, disc update)
+    # executables: one fused graph holding all four networks' forwards and
+    # backwards exceeds what fragile TPU compile services handle, and the
+    # split loses nothing — stages are data-dependent and run back-to-back
+    # on device with no host synchronization between them.
+
+    @partial(jax.jit, static_argnums=0)
+    def _fakes_step(self, gen_a, gen_b, data_a, data_b, idx_a, idx_b):
         real_a = self._shard_constraint(data_a.gather(idx_a))
         real_b = self._shard_constraint(data_b.gather(idx_b))
+        fake_b = self._g(self.gen_a, gen_a, real_a)
+        fake_a = self._g(self.gen_b, gen_b, real_b)
+        return real_a, real_b, fake_a, fake_b
+
+    def _gen_update(self, which: str, params, opt, disc_params, real_own,
+                    real_other, fake_other, key):
+        """Update one generator. `real_own` is its source domain input,
+        `real_other` the target domain, `fake_other` the other generator's
+        (detached) translation of the target domain — the cycle input.
+        Gradients flow through this generator's three applications only
+        (reference persistent-tape semantics, `CycleGAN.py:762-763`)."""
         cfg = self.config
-        sg = jax.lax.stop_gradient
-        k = jax.random.split(rng, 6)
         smooth = cfg.label_smoothing_factor
+        gen = self.gen_a if which == "a" else self.gen_b
+        disc = self.disc_b if which == "a" else self.disc_a
+        lam = cfg.lambda_cycle_a if which == "a" else cfg.lambda_cycle_b
+        lam_id = cfg.lambda_identity_a if which == "a" else cfg.lambda_identity_b
+        cyc_fn = self._cycle_loss_a if which == "a" else mae_loss
 
-        def gen_loss(gen_params):
-            ga, gb = gen_params
-            fake_b = self._g(self.gen_a, ga, real_a)
-            fake_a = self._g(self.gen_b, gb, real_b)
-            # L_a trains gen_a only; gradients flow THROUGH gen_b's ops but
-            # not into its params (and vice versa) — reference tape semantics
-            cycled_b_for_a = self._g(self.gen_a, ga, self._g(self.gen_b, sg(gb), real_b))
-            cycled_a_for_b = self._g(self.gen_b, gb, self._g(self.gen_a, sg(ga), real_a))
-
-            disc_fake_a = self._d(self.disc_a, sg(state.disc_a), fake_a, k[0], True)
-            disc_fake_b = self._d(self.disc_b, sg(state.disc_b), fake_b, k[1], True)
-
-            adv_a = lsgan_real_loss(disc_fake_b, smooth)
-            adv_b = lsgan_real_loss(disc_fake_a, smooth)
-            cyc_a = self._cycle_loss_a(real_b, cycled_b_for_a) * cfg.lambda_cycle_a
-            cyc_b = mae_loss(real_a, cycled_a_for_b) * cfg.lambda_cycle_b
-
-            if cfg.lambda_identity_a > 0 or cfg.lambda_identity_b > 0:
-                same_b = self._g(self.gen_a, ga, real_b)
-                same_a = self._g(self.gen_b, gb, real_a)
-                id_a = mae_loss(real_b, same_b) * cfg.lambda_cycle_a * cfg.lambda_identity_a
-                id_b = mae_loss(real_a, same_a) * cfg.lambda_cycle_b * cfg.lambda_identity_b
+        def loss_fn(p):
+            fake = self._g(gen, p, real_own)            # adv branch
+            cycled = self._g(gen, p, fake_other)        # cycle branch
+            logits = self._d(disc, jax.lax.stop_gradient(disc_params),
+                             fake, key, True)
+            adv = lsgan_real_loss(logits, smooth)
+            cyc = cyc_fn(real_other, cycled) * lam
+            if lam_id > 0:
+                same = self._g(gen, p, real_other)
+                ident = mae_loss(real_other, same) * lam * lam_id
             else:
-                id_a = id_b = jnp.float32(0)
+                ident = jnp.float32(0)
+            total = adv + cyc + ident
+            return total, (adv, cyc, ident)
 
-            total_a = adv_a + cyc_a + id_a
-            total_b = adv_b + cyc_b + id_b
-            aux = dict(fake_a=sg(fake_a), fake_b=sg(fake_b),
-                       g_a=total_a, g_b=total_b, g_adv_a=adv_a, g_adv_b=adv_b,
-                       g_cyc_a=cyc_a, g_cyc_b=cyc_b, g_id_a=id_a, g_id_b=id_b)
-            return total_a + total_b, aux
+        (total, (adv, cyc, ident)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt = self._tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt, {"g": total, "adv": adv, "cyc": cyc, "id": ident}
 
-        (_, aux), gen_grads = jax.value_and_grad(gen_loss, has_aux=True)(
-            (state.gen_a, state.gen_b))
-        up_a, opt_ga = self._tx.update(gen_grads[0], state.opt_ga, state.gen_a)
-        gen_a = optax.apply_updates(state.gen_a, up_a)
-        up_b, opt_gb = self._tx.update(gen_grads[1], state.opt_gb, state.gen_b)
-        gen_b = optax.apply_updates(state.gen_b, up_b)
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _gen_a_step(self, gen_a, opt_ga, disc_b, real_a, real_b, fake_a, key):
+        return self._gen_update("a", gen_a, opt_ga, disc_b, real_a, real_b,
+                                fake_a, key)
 
-        pooled_a, pool_a = self._pool_query(state.pool_a, aux["fake_a"], k[2])
-        pooled_b, pool_b = self._pool_query(state.pool_b, aux["fake_b"], k[3])
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _gen_b_step(self, gen_b, opt_gb, disc_a, real_a, real_b, fake_b, key):
+        return self._gen_update("b", gen_b, opt_gb, disc_a, real_b, real_a,
+                                fake_b, key)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4, 5, 6))
+    def _disc_step(self, disc_a, disc_b, opt_da, opt_db, pool_a, pool_b,
+                   real_a, real_b, fake_a, fake_b, rng):
+        cfg = self.config
+        smooth = cfg.label_smoothing_factor
+        k = jax.random.split(rng, 4)
+        pooled_a, pool_a = self._pool_query(pool_a, fake_a, k[0])
+        pooled_b, pool_b = self._pool_query(pool_b, fake_b, k[1])
 
         def disc_loss(disc_params):
             da, db = disc_params
-            real_logits_a = self._d(self.disc_a, da, real_a, k[4], True)
-            fake_logits_a = self._d(self.disc_a, da, pooled_a, k[4], True)
-            real_logits_b = self._d(self.disc_b, db, real_b, k[5], True)
-            fake_logits_b = self._d(self.disc_b, db, pooled_b, k[5], True)
+            real_logits_a = self._d(self.disc_a, da, real_a, k[2], True)
+            fake_logits_a = self._d(self.disc_a, da, pooled_a, k[2], True)
+            real_logits_b = self._d(self.disc_b, db, real_b, k[3], True)
+            fake_logits_b = self._d(self.disc_b, db, pooled_b, k[3], True)
             d_real_a = lsgan_real_loss(real_logits_a, smooth)
             d_fake_a = lsgan_fake_loss(fake_logits_a, smooth)
             d_real_b = lsgan_real_loss(real_logits_b, smooth)
@@ -290,18 +306,36 @@ class CycleGANTrainer:
                                    d_fake_b=d_fake_b)
 
         (_, daux), disc_grads = jax.value_and_grad(disc_loss, has_aux=True)(
-            (state.disc_a, state.disc_b))
-        up_da, opt_da = self._tx.update(disc_grads[0], state.opt_da, state.disc_a)
-        disc_a = optax.apply_updates(state.disc_a, up_da)
-        up_db, opt_db = self._tx.update(disc_grads[1], state.opt_db, state.disc_b)
-        disc_b = optax.apply_updates(state.disc_b, up_db)
+            (disc_a, disc_b))
+        up_da, opt_da = self._tx.update(disc_grads[0], opt_da, disc_a)
+        disc_a = optax.apply_updates(disc_a, up_da)
+        up_db, opt_db = self._tx.update(disc_grads[1], opt_db, disc_b)
+        disc_b = optax.apply_updates(disc_b, up_db)
+        return disc_a, disc_b, opt_da, opt_db, pool_a, pool_b, daux
+
+    def train_step(self, state: CycleGANState, data_a, data_b, idx_a, idx_b, rng):
+        """One full step; batches gathered ON DEVICE from the resident
+        domain arrays (only index vectors cross the host link per step)."""
+        k = jax.random.split(rng, 3)
+        real_a, real_b, fake_a, fake_b = self._fakes_step(
+            state.gen_a, state.gen_b, data_a, data_b, idx_a, idx_b)
+        gen_a, opt_ga, ma = self._gen_a_step(state.gen_a, state.opt_ga,
+                                             state.disc_b, real_a, real_b,
+                                             fake_a, k[0])
+        gen_b, opt_gb, mb = self._gen_b_step(state.gen_b, state.opt_gb,
+                                             state.disc_a, real_a, real_b,
+                                             fake_b, k[1])
+        disc_a, disc_b, opt_da, opt_db, pool_a, pool_b, daux = self._disc_step(
+            state.disc_a, state.disc_b, state.opt_da, state.opt_db,
+            state.pool_a, state.pool_b, real_a, real_b, fake_a, fake_b, k[2])
 
         new_state = CycleGANState(
             gen_a=gen_a, gen_b=gen_b, disc_a=disc_a, disc_b=disc_b,
             opt_ga=opt_ga, opt_gb=opt_gb, opt_da=opt_da, opt_db=opt_db,
             pool_a=pool_a, pool_b=pool_b, step=state.step + 1)
-        metrics = {kk: aux[kk] for kk in ("g_a", "g_b", "g_adv_a", "g_adv_b",
-                                          "g_cyc_a", "g_cyc_b", "g_id_a", "g_id_b")}
+        metrics = {"g_a": ma["g"], "g_adv_a": ma["adv"], "g_cyc_a": ma["cyc"],
+                   "g_id_a": ma["id"], "g_b": mb["g"], "g_adv_b": mb["adv"],
+                   "g_cyc_b": mb["cyc"], "g_id_b": mb["id"]}
         metrics.update(daux)
         return new_state, metrics
 
