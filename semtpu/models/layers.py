@@ -47,9 +47,11 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # statistics in float32 regardless of compute dtype (bf16-safe)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        y = ((x32 - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         c = x.shape[-1]
         if self.use_scale:
             gamma = self.param("scale", nn.initializers.ones, (c,))
