@@ -98,7 +98,10 @@ class CycleGANConfig:
     invert_images: bool = False
     image_pool_size: int = 50
     # bfloat16 activations (f32 params + InstanceNorm stats): halves the
-    # backward-pass HBM footprint at 384^2 and doubles MXU throughput
+    # backward-pass HBM footprint at 384^2 and doubles MXU throughput.
+    # NOTE: the four train-step stages stay SEPARATE executables — merging
+    # them makes XLA keep multiple backward passes' activations alive
+    # (20.4G > 15.75G HBM at 384^2 bs5 even in bf16).
     compute_dtype: Any = jnp.bfloat16
     seed: int = 0
 
@@ -228,22 +231,13 @@ class CycleGANTrainer:
     # split loses nothing — stages are data-dependent and run back-to-back
     # on device with no host synchronization between them.
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4))
-    def _gen_step(self, gen_a, gen_b, opt_ga, opt_gb, disc_a, disc_b,
-                  data_a, data_b, idx_a, idx_b, rng):
-        """Fakes + both generator updates in one executable (2 dispatches
-        per step total with _disc_step; remote dispatch latency dominates
-        per-step cost on tunneled runtimes)."""
-        k = jax.random.split(rng, 2)
+    @partial(jax.jit, static_argnums=0)
+    def _fakes_step(self, gen_a, gen_b, data_a, data_b, idx_a, idx_b):
         real_a = self._shard_constraint(data_a.gather(idx_a))
         real_b = self._shard_constraint(data_b.gather(idx_b))
-        fake_b = jax.lax.stop_gradient(self._g(self.gen_a, gen_a, real_a))
-        fake_a = jax.lax.stop_gradient(self._g(self.gen_b, gen_b, real_b))
-        gen_a, opt_ga, ma = self._gen_update("a", gen_a, opt_ga, disc_b,
-                                             real_a, real_b, fake_a, k[0])
-        gen_b, opt_gb, mb = self._gen_update("b", gen_b, opt_gb, disc_a,
-                                             real_b, real_a, fake_b, k[1])
-        return gen_a, gen_b, opt_ga, opt_gb, real_a, real_b, fake_a, fake_b, ma, mb
+        fake_b = self._g(self.gen_a, gen_a, real_a)
+        fake_a = self._g(self.gen_b, gen_b, real_b)
+        return real_a, real_b, fake_a, fake_b
 
     def _gen_update(self, which: str, params, opt, disc_params, real_own,
                     real_other, fake_other, key):
@@ -280,6 +274,16 @@ class CycleGANTrainer:
         updates, opt = self._tx.update(grads, opt, params)
         params = optax.apply_updates(params, updates)
         return params, opt, {"g": total, "adv": adv, "cyc": cyc, "id": ident}
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _gen_a_step(self, gen_a, opt_ga, disc_b, real_a, real_b, fake_a, key):
+        return self._gen_update("a", gen_a, opt_ga, disc_b, real_a, real_b,
+                                fake_a, key)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _gen_b_step(self, gen_b, opt_gb, disc_a, real_a, real_b, fake_b, key):
+        return self._gen_update("b", gen_b, opt_gb, disc_a, real_b, real_a,
+                                fake_b, key)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4, 5, 6))
     def _disc_step(self, disc_a, disc_b, opt_da, opt_db, pool_a, pool_b,
@@ -318,10 +322,14 @@ class CycleGANTrainer:
         """One full step; batches gathered ON DEVICE from the resident
         domain arrays (only index vectors cross the host link per step)."""
         k = jax.random.split(rng, 3)
-        (gen_a, gen_b, opt_ga, opt_gb, real_a, real_b, fake_a, fake_b,
-         ma, mb) = self._gen_step(state.gen_a, state.gen_b, state.opt_ga,
-                                  state.opt_gb, state.disc_a, state.disc_b,
-                                  data_a, data_b, idx_a, idx_b, k[0])
+        real_a, real_b, fake_a, fake_b = self._fakes_step(
+            state.gen_a, state.gen_b, data_a, data_b, idx_a, idx_b)
+        gen_a, opt_ga, ma = self._gen_a_step(state.gen_a, state.opt_ga,
+                                             state.disc_b, real_a, real_b,
+                                             fake_a, k[0])
+        gen_b, opt_gb, mb = self._gen_b_step(state.gen_b, state.opt_gb,
+                                             state.disc_a, real_a, real_b,
+                                             fake_b, k[1])
         disc_a, disc_b, opt_da, opt_db, pool_a, pool_b, daux = self._disc_step(
             state.disc_a, state.disc_b, state.opt_da, state.opt_db,
             state.pool_a, state.pool_b, real_a, real_b, fake_a, fake_b, k[2])
