@@ -62,6 +62,7 @@ class PipelineConfig:
     unet_epochs: int = 50
     unet_contrast_optimization_range: tuple = (0.5, 99.5)
     unet_filters: int = 16
+    unet_bn_momentum: float = 0.99
     unet_threshold: float = -1.0
     unet_watershed_lines: bool = True
     unet_min_distance: int = 9

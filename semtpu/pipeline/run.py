@@ -271,6 +271,7 @@ class Pipeline:
                           epochs=cfg.unet_epochs,
                           tile_h=cfg.tile_size_h, tile_w=cfg.tile_size_w,
                           contrast_optimization_range=cfg.unet_contrast_optimization_range,
+                          bn_momentum=cfg.unet_bn_momentum,
                           seed=cfg.seed)
         return UNetTrainer(ucfg, mesh=self.mesh)
 

@@ -132,6 +132,38 @@ class UNetTrainer:
         }
         return state, metrics
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_steps_scan(self, state: TrainState, images_all, masks_all,
+                         img_idx, aug):
+        """K training steps in ONE executable via lax.scan.
+
+        img_idx/aug: (K, B). Dispatch latency dominates per-step cost on
+        remote/tunneled runtimes (and is non-trivial everywhere); scanning K
+        steps per dispatch amortizes it K-fold. Returns summed metrics.
+        """
+        w = self._weighting
+
+        def body(state, xs):
+            idx, a = xs
+            images = apply_flip(self._shard_constraint(images_all.gather(idx)), a)
+            masks = apply_flip(self._shard_constraint(masks_all.gather(idx)), a)
+
+            def loss_fn(params):
+                preds, updates = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, train=True, mutable=["batch_stats"])
+                return weighted_bce(masks, preds, w), (preds, updates["batch_stats"])
+
+            (loss, (preds, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
+            m = jnp.stack([loss, jnp.mean(jnp.abs(masks - preds)),
+                           jnp.mean((preds > 0.5) == (masks > 0.5))])
+            return state, m
+
+        state, ms = jax.lax.scan(body, state, (img_idx, aug))
+        return state, jnp.sum(ms, axis=0)
+
     @partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, images_all, masks_all, img_idx, aug):
         images = self._shard_constraint(images_all.gather(img_idx))
@@ -186,19 +218,20 @@ class UNetTrainer:
                 f"dataset ({len(train_ds)} items) yields no full batch at "
                 f"sharded batch size {bs}; add data or reduce batch_size")
 
+        SCAN_CHUNK = 16   # steps per dispatch (amortizes launch latency)
         for epoch in range(cfg.epochs):
             t0 = time.time()
             msum = jnp.zeros(len(keys))
-            n_steps = 0
+            n_steps = len(train_ds) // bs
             idx = train_ds.index.copy()
             rng.shuffle(idx)
-            for b in range(len(idx) // bs):
-                sel = idx[b * bs:(b + 1) * bs]
-                self.state, metrics = self.train_step(
+            idx = idx[:n_steps * bs].reshape(n_steps, bs, 2)
+            for c0 in range(0, n_steps, SCAN_CHUNK):
+                chunk = idx[c0:c0 + SCAN_CHUNK]
+                self.state, sums = self.train_steps_scan(
                     self.state, dev_imgs, dev_masks,
-                    jnp.asarray(sel[:, 0]), jnp.asarray(sel[:, 1]))
-                msum = msum + jnp.stack([metrics[k] for k in keys])
-                n_steps += 1
+                    jnp.asarray(chunk[:, :, 0]), jnp.asarray(chunk[:, :, 1]))
+                msum = msum + sums
             train_m = dict(zip(keys, np.asarray(jax.device_get(msum)) / n_steps))
 
             val_m = {}
