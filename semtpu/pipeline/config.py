@@ -54,6 +54,8 @@ class PipelineConfig:
     cyclegan_use_binary_crossentropy: bool = False
     cyclegan_use_resize_convolution: bool = False
     cyclegan_num_residual_blocks: int = 9
+    cyclegan_checkpoint_every: int = 1   # reference saves per epoch; raise on
+                                         # slow links (a checkpoint ships ~180MB)
     gaussian_blur_amount: float = 0.0
     invert_images: bool = False                # TEM/bright-background variant
 

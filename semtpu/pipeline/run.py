@@ -215,7 +215,9 @@ class Pipeline:
         trainer.fit(PairedDomainDataset(train_a, train_b, a_pre, b_pre),
                     model_dir=os.path.join(cfg.cyclegan_model_dir, prefix),
                     image_dir=os.path.join(cfg.cyclegan_dir, "images", prefix),
-                    test_a=test_a, test_b=test_b)
+                    test_a=test_a, test_b=test_b,
+                    checkpoint_every=cfg.cyclegan_checkpoint_every,
+                    monitor_every=cfg.cyclegan_checkpoint_every)
         self._cyclegan = trainer
         return trainer
 

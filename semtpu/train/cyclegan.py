@@ -347,7 +347,8 @@ class CycleGANTrainer:
     # -- fit -------------------------------------------------------------------
     def fit(self, dataset: PairedDomainDataset, model_dir: str | None = None,
             image_dir: str | None = None, test_a=None, test_b=None,
-            checkpoint_every: int = 1, log_every: int = 0) -> dict:
+            checkpoint_every: int = 1, monitor_every: int = 1,
+            log_every: int = 0) -> dict:
         cfg = self.config
         n_dev = len(self.mesh.devices.reshape(-1))
         bs = max(cfg.batch_size // n_dev, 1) * n_dev
@@ -404,7 +405,9 @@ class CycleGANTrainer:
                       f"d_a={ep['d_a']:.3f} d_b={ep['d_b']:.3f}")
             if model_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
                 self.save(os.path.join(model_dir, f"checkpoints_{epoch + 1:03d}"))
-            if image_dir is not None and test_a is not None and test_b is not None:
+            if (image_dir is not None and test_a is not None
+                    and test_b is not None and monitor_every
+                    and (epoch + 1) % monitor_every == 0):
                 self.save_monitor_panels(test_a, test_b, image_dir, epoch + 1)
 
         if model_dir:
