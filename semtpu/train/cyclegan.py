@@ -17,15 +17,20 @@ Parity with the reference harness/model
   (TEM) data, per-image min-max -> uint8 outputs
 
 TPU-native details:
-- ONE jitted, donated train step for all four networks. The two generator
-  losses need grads w.r.t. their own generator only while flowing through
-  the other (the reference uses a persistent GradientTape and two backward
-  passes); here `stop_gradient` on the cross generator's parameters fuses
-  both into a single backward pass.
+- the train step runs as four jitted stages (fakes, gen_a update, gen_b
+  update, disc update): a single fused graph holding every forward and
+  backward at 384^2 exceeds 15.75G HBM (activations of multiple backwards
+  kept live) and overwhelms fragile compile services; the stages run
+  back-to-back on device with no host syncs between them. Each generator's
+  gradients flow through (but not into) the other network's outputs — the
+  reference's persistent-GradientTape semantics (`CycleGAN.py:762-763`).
+- bfloat16 activations with float32 parameters and InstanceNorm statistics.
 - the image pools live on device inside the train state; the reference's
   host-side pool (`CycleGAN.py:908-964`) is a per-batch host sync. Pool
   semantics (sequential fill, then 50% swap-with-random-slot) are
   reproduced exactly with a lax.scan over the batch.
+- training data is device-resident (uint8 + on-device decode); per step
+  only index vectors cross the host link.
 """
 from __future__ import annotations
 
