@@ -26,6 +26,10 @@ def build_parser():
     p.add_argument("--output-dir", required=True)
     p.add_argument("--tile", type=lambda s: s.lower() in ("1", "true", "yes"),
                    default=True, help="tiled inference (artifacts are tile-shaped)")
+    p.add_argument("--filters", type=int, default=16,
+                   help="UNet width (checkpoint loading only; artifacts embed it)")
+    p.add_argument("--tile-h", type=int, default=384)
+    p.add_argument("--tile-w", type=int, default=384)
     p.add_argument("--threshold", type=float, default=-1.0,
                    help="segmentation threshold in [0,1]; <0 = Otsu")
     p.add_argument("--watershed", type=lambda s: s.lower() in ("1", "true", "yes"),
@@ -48,21 +52,22 @@ def build_parser():
     return p
 
 
-def _load_model(path: str):
+def _load_model(path: str, filters: int = 16, tile_h: int = 384,
+                tile_w: int = 384):
     if os.path.isfile(os.path.join(path, "model.stablehlo")):
         from semtpu.export import load_artifact
         art = load_artifact(path)
         return art, art.tile_h, art.tile_w
     # UNet checkpoint directory
     from semtpu.train.unet import UNetTrainer, UNetConfig
-    trainer = UNetTrainer(UNetConfig())
+    trainer = UNetTrainer(UNetConfig(filters=filters, tile_h=tile_h,
+                                     tile_w=tile_w))
     trainer.load(path)
-    cfg = trainer.config
 
     def call(x):
         return np.asarray(trainer._forward(trainer.state, x))
 
-    return call, cfg.tile_h, cfg.tile_w
+    return call, tile_h, tile_w
 
 
 def run(args):
@@ -75,7 +80,8 @@ def run(args):
     from PIL import Image
     import cv2
 
-    model, tile_h, tile_w = _load_model(args.model)
+    model, tile_h, tile_w = _load_model(args.model, args.filters,
+                                        args.tile_h, args.tile_w)
     contrast = tuple(float(x) for x in args.contrast_range.split(","))
     os.makedirs(args.output_dir, exist_ok=True)
 
