@@ -154,10 +154,12 @@ class DeviceImages:
     offset01: any = None
     lb: any = None            # (N,) clip bounds in raw units
     ub: any = None
+    cdf: any = None           # (N, 256) float32 cumulative pixel counts (aug path)
     out_range: tuple = _struct.field(pytree_node=False, default=(0.0, 1.0))
     threshold: float | None = _struct.field(pytree_node=False, default=None)
     invert: bool = _struct.field(pytree_node=False, default=False)
     quantized: bool = _struct.field(pytree_node=False, default=False)
+    aug_contrast: bool = _struct.field(pytree_node=False, default=False)
 
     @classmethod
     def from_float32(cls, arr):
@@ -166,8 +168,14 @@ class DeviceImages:
     @classmethod
     def from_uint8(cls, arr, normalization_range=(0.0, 1.0),
                    contrast_optimization_range=None, threshold=None,
-                   invert=False):
-        """Build from a raw (N, H, W[, C]) uint8 stack on host."""
+                   invert=False, aug_contrast=False):
+        """Build from a raw (N, H, W[, C]) uint8 stack on host.
+
+        aug_contrast=True additionally stores per-image 256-bin cumulative
+        histograms so `gather_train` can draw EXACT randomized percentile
+        clip windows on device (brightness/contrast augmentation,
+        `UNet_Segmentation.py:83-87`).
+        """
         a = np.asarray(arr)
         assert a.dtype == np.uint8
         if a.ndim == 3:
@@ -185,12 +193,18 @@ class DeviceImages:
         mn = np.maximum(flat.min(axis=1), lb)
         mx = np.minimum(flat.max(axis=1), ub)
         span = np.maximum(mx - mn, 1e-12)
+        cdf = None
+        if aug_contrast:
+            counts = np.stack([np.bincount(a[i].reshape(-1), minlength=256)
+                               for i in range(n)])
+            cdf = jnp.asarray(np.cumsum(counts, axis=1), jnp.float32)
         return cls(data=jnp.asarray(a),
                    scale01=jnp.asarray(1.0 / span, jnp.float32),
                    offset01=jnp.asarray(-mn / span, jnp.float32),
-                   lb=jnp.asarray(lb), ub=jnp.asarray(ub),
+                   lb=jnp.asarray(lb), ub=jnp.asarray(ub), cdf=cdf,
                    out_range=tuple(normalization_range),
-                   threshold=threshold, invert=bool(invert), quantized=True)
+                   threshold=threshold, invert=bool(invert), quantized=True,
+                   aug_contrast=bool(aug_contrast))
 
     def __len__(self):
         return self.data.shape[0]
@@ -214,15 +228,68 @@ class DeviceImages:
             y = -y
         return y
 
+    def gather_train(self, idx, key=None):
+        """Training-mode gather: brightness/contrast augmentation.
 
-def as_device_images(arr, mesh, preproc: dict | None = None) -> "DeviceImages":
+        Reproduces `UNet_Segmentation.py:83-87`: per sample a random
+        percentile window `(c, c+98)` with `c ~ U[0, 2)` is clipped, a random
+        affine range `(-U[0,1], 1+U[0,1])` is applied, then the image is
+        re-min-max normalized to [0, 1]. The affine step is algebraically
+        undone by the final min-max (the clipped image spans its window
+        exactly), so the observable transform is the random contrast window
+        followed by min-max to [0, 1] — implemented exactly on device via
+        per-image cumulative histograms (np.percentile 'linear' semantics:
+        pos = q/100*(npix-1), order statistics interpolated).
+        """
+        if not (self.quantized and self.aug_contrast and self.cdf is not None
+                and key is not None):
+            return self.gather(idx)
+        c = jax.random.uniform(key, (idx.shape[0],), minval=0.0, maxval=2.0)
+        return self.gather_contrast(idx, c)
+
+    def gather_contrast(self, idx, c):
+        """Decode a batch with explicit per-sample contrast windows
+        `(c, c+98)` (percentiles); the deterministic core of
+        `gather_train`."""
+        x = self.data[idx].astype(jnp.float32)
+
+        def pct(cdf_row, q):
+            # value of the q-th percentile from a (256,) cumulative histogram
+            npix = cdf_row[-1]
+            pos = q * 0.01 * (npix - 1.0)
+            k0 = jnp.floor(pos)
+            frac = pos - k0
+            v0 = jnp.searchsorted(cdf_row, k0, side="right")
+            v1 = jnp.searchsorted(cdf_row, k0 + 1.0, side="right")
+            v1 = jnp.where(frac > 0, v1, v0)
+            return v0.astype(jnp.float32) * (1.0 - frac) \
+                + v1.astype(jnp.float32) * frac
+
+        cdf = self.cdf[idx]
+        lb = jax.vmap(pct)(cdf, c)[:, None, None, None]
+        ub = jax.vmap(pct)(cdf, c + 98.0)[:, None, None, None]
+        span = jnp.maximum(ub - lb, 1e-12)
+        y01 = (jnp.clip(x, lb, ub) - lb) / span
+        lo, hi = self.out_range
+        y = lo + (hi - lo) * y01
+        if self.invert:
+            y = -y
+        return y
+
+
+def as_device_images(arr, mesh, preproc: dict | None = None,
+                     aug_contrast: bool = False) -> "DeviceImages":
     """Upload an array to the mesh (replicated); uint8 arrays with a
     `preproc` loader-spec dict become quantized DeviceImages."""
     from semtpu.parallel import replicate
     if isinstance(arr, DeviceImages):
         di = arr
     elif np.asarray(arr).dtype == np.uint8:
-        di = DeviceImages.from_uint8(np.asarray(arr), **(preproc or {}))
+        di = DeviceImages.from_uint8(np.asarray(arr), aug_contrast=aug_contrast,
+                                     **(preproc or {}))
     else:
         di = DeviceImages.from_float32(np.asarray(arr, np.float32))
+        if aug_contrast:
+            raise ValueError("brightness/contrast augmentation requires a "
+                             "raw uint8 source (preproc-quantized stack)")
     return replicate(di, mesh)

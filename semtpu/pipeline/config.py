@@ -63,6 +63,9 @@ class PipelineConfig:
     unet_batch_size: int = 5
     unet_epochs: int = 50
     unet_contrast_optimization_range: tuple = (0.5, 99.5)
+    # randomized contrast-window augmentation on UNet training images
+    # (reference `UNet_Segmentation.py:22,83-87`; default off like upstream)
+    unet_use_brightness_contrast_augmentation: bool = False
     unet_filters: int = 16
     unet_bn_momentum: float = 0.99
     unet_threshold: float = -1.0

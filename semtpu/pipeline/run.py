@@ -274,6 +274,8 @@ class Pipeline:
                           tile_h=cfg.tile_size_h, tile_w=cfg.tile_size_w,
                           contrast_optimization_range=cfg.unet_contrast_optimization_range,
                           bn_momentum=cfg.unet_bn_momentum,
+                          use_brightness_contrast_augmentation=(
+                              cfg.unet_use_brightness_contrast_augmentation),
                           seed=cfg.seed)
         return UNetTrainer(ucfg, mesh=self.mesh)
 

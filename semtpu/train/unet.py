@@ -53,6 +53,9 @@ class UNetConfig:
     tile_h: int = 384
     tile_w: int = 384
     contrast_optimization_range: tuple = (0.5, 99.5)
+    # randomized percentile-window contrast augmentation on training images
+    # (`UNet_Segmentation.py:83-87`); applied on device inside the gather
+    use_brightness_contrast_augmentation: bool = False
     bn_momentum: float = 0.99
     compute_dtype: Any = jnp.bfloat16
     seed: int = 0
@@ -105,10 +108,11 @@ class UNetTrainer:
 
     # -- steps ---------------------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: TrainState, images_all, masks_all, img_idx, aug):
+    def train_step(self, state: TrainState, images_all, masks_all, img_idx, aug,
+                   key=None):
         """One step; batches are gathered ON DEVICE from the resident
         dataset arrays (only the tiny index vectors cross the host link)."""
-        images = self._shard_constraint(images_all.gather(img_idx))
+        images = self._shard_constraint(images_all.gather_train(img_idx, key))
         masks = self._shard_constraint(masks_all.gather(img_idx))
         images = apply_flip(images, aug)
         masks = apply_flip(masks, aug)
@@ -134,18 +138,24 @@ class UNetTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_steps_scan(self, state: TrainState, images_all, masks_all,
-                         img_idx, aug):
+                         img_idx, aug, key=None):
         """K training steps in ONE executable via lax.scan.
 
         img_idx/aug: (K, B). Dispatch latency dominates per-step cost on
         remote/tunneled runtimes (and is non-trivial everywhere); scanning K
         steps per dispatch amortizes it K-fold. Returns summed metrics.
+        `key` seeds the per-step brightness/contrast augmentation draws.
         """
         w = self._weighting
+        step_keys = (jax.random.split(key, img_idx.shape[0])
+                     if key is not None else jnp.zeros((img_idx.shape[0], 2),
+                                                       jnp.uint32))
 
         def body(state, xs):
-            idx, a = xs
-            images = apply_flip(self._shard_constraint(images_all.gather(idx)), a)
+            idx, a, k = xs
+            k = k if (images_all.aug_contrast and key is not None) else None
+            images = apply_flip(
+                self._shard_constraint(images_all.gather_train(idx, k)), a)
             masks = apply_flip(self._shard_constraint(masks_all.gather(idx)), a)
 
             def loss_fn(params):
@@ -161,7 +171,7 @@ class UNetTrainer:
                            jnp.mean((preds > 0.5) == (masks > 0.5))])
             return state, m
 
-        state, ms = jax.lax.scan(body, state, (img_idx, aug))
+        state, ms = jax.lax.scan(body, state, (img_idx, aug, step_keys))
         return state, jnp.sum(ms, axis=0)
 
     @partial(jax.jit, static_argnums=0)
@@ -193,6 +203,9 @@ class UNetTrainer:
                               sample_shape=(1, h, w, 1))
 
         rng = np.random.default_rng(cfg.seed)
+        # per-chunk augmentation keys are built on HOST (raw uint32 pairs ==
+        # old-style PRNG keys) so no extra device dispatch rides every chunk
+        aug_rng = np.random.default_rng(cfg.seed + 7)
         history = {"loss": [], "val_loss": [], "mae": [], "acc": [],
                    "val_mae": [], "val_acc": []}
         best_loss = np.inf
@@ -205,7 +218,9 @@ class UNetTrainer:
         # training data lives on device for the whole run; per step only the
         # index vectors cross the host link
         from semtpu.data.dataset import as_device_images
-        dev_imgs = as_device_images(train_ds.images, self.mesh, train_ds.image_preproc)
+        dev_imgs = as_device_images(
+            train_ds.images, self.mesh, train_ds.image_preproc,
+            aug_contrast=cfg.use_brightness_contrast_augmentation)
         dev_masks = as_device_images(train_ds.masks, self.mesh, train_ds.mask_preproc)
         dev_val = None
         if val_ds is not None and len(val_ds) > 0:
@@ -228,9 +243,12 @@ class UNetTrainer:
             idx = idx[:n_steps * bs].reshape(n_steps, bs, 2)
             for c0 in range(0, n_steps, SCAN_CHUNK):
                 chunk = idx[c0:c0 + SCAN_CHUNK]
+                sub = jnp.asarray(aug_rng.integers(0, 2**32, size=2,
+                                                   dtype=np.uint32))
                 self.state, sums = self.train_steps_scan(
                     self.state, dev_imgs, dev_masks,
-                    jnp.asarray(chunk[:, :, 0]), jnp.asarray(chunk[:, :, 1]))
+                    jnp.asarray(chunk[:, :, 0]), jnp.asarray(chunk[:, :, 1]),
+                    sub)
                 msum = msum + sums
             train_m = dict(zip(keys, np.asarray(jax.device_get(msum)) / n_steps))
 

@@ -101,6 +101,25 @@ def test_checkpoint_roundtrip(tmp_path, trained):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_fit_with_brightness_contrast_augmentation():
+    """Training works end-to-end with the randomized contrast windows:
+    requires a uint8-quantized dataset (the pipeline's step-6a form)."""
+    rng = np.random.default_rng(3)
+    imgs, masks = synth_data(rng, n=10)
+    imgs_u8 = (imgs[:, :, :, 0] * 255).astype(np.uint8)
+    masks_u8 = (masks[:, :, :, 0] * 255).astype(np.uint8)
+    i_pre = dict(normalization_range=(0, 1))
+    m_pre = dict(normalization_range=(0, 1), threshold=0.5)
+    train_ds = SegmentationDataset(imgs_u8, masks_u8, "train",
+                                   image_preproc=i_pre, mask_preproc=m_pre)
+    cfg = UNetConfig(filters=4, batch_size=8, epochs=2, tile_h=48, tile_w=48,
+                     bn_momentum=0.6, compute_dtype=jnp.float32,
+                     use_brightness_contrast_augmentation=True)
+    trainer = UNetTrainer(cfg, mesh=get_mesh())
+    history = trainer.fit(train_ds)
+    assert np.isfinite(history["loss"][-1])
+
+
 def test_run_inference_outputs(tmp_path, trained):
     trainer, _, (imgs, _) = trained
     outdir = str(tmp_path / "out")
