@@ -102,6 +102,11 @@ class CycleGANConfig:
     gaussian_noise_value: float = 0.0
     invert_images: bool = False
     image_pool_size: int = 50
+    # full train steps per dispatch (lax.scan over the staged step with
+    # optimization barriers between stages). Amortizes dispatch latency —
+    # the dominant per-step cost on remote/tunneled runtimes. 1 = the
+    # legacy 4-dispatch step.
+    scan_steps: int = 8
     # bfloat16 activations (f32 params + InstanceNorm stats): halves the
     # backward-pass HBM footprint at 384^2 and doubles MXU throughput.
     # NOTE: the four train-step stages stay SEPARATE executables — merging
@@ -293,6 +298,11 @@ class CycleGANTrainer:
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4, 5, 6))
     def _disc_step(self, disc_a, disc_b, opt_da, opt_db, pool_a, pool_b,
                    real_a, real_b, fake_a, fake_b, rng):
+        return self._disc_core(disc_a, disc_b, opt_da, opt_db, pool_a, pool_b,
+                               real_a, real_b, fake_a, fake_b, rng)
+
+    def _disc_core(self, disc_a, disc_b, opt_da, opt_db, pool_a, pool_b,
+                   real_a, real_b, fake_a, fake_b, rng):
         cfg = self.config
         smooth = cfg.label_smoothing_factor
         k = jax.random.split(rng, 4)
@@ -349,6 +359,75 @@ class CycleGANTrainer:
         metrics.update(daux)
         return new_state, metrics
 
+    # the metric order of train_steps_scan's summed output vector
+    METRIC_KEYS = ("g_a", "g_b", "g_adv_a", "g_adv_b", "g_cyc_a", "g_cyc_b",
+                   "g_id_a", "g_id_b", "d_a", "d_b", "d_real_a", "d_fake_a",
+                   "d_real_b", "d_fake_b")
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_steps_scan(self, state: CycleGANState, data_a, data_b,
+                         idx_a, idx_b, keys):
+        """K full train steps in ONE executable (lax.scan over the staged
+        step). idx_a/idx_b: (K, B); keys: (K, 2) uint32.
+
+        The four stages stay sequenced inside the body via
+        `lax.optimization_barrier`: one unconstrained fused graph lets XLA
+        keep several backward passes' activations alive simultaneously
+        (20.4G > 15.75G HBM at 384^2 bs5), while barrier-threaded staging
+        bounds the peak at the largest single stage — the same memory
+        profile as the 4-dispatch step, at 1/(4K) of its dispatch count.
+        Returns (state, summed metrics vector in METRIC_KEYS order).
+        """
+
+        def barrier(*vals):
+            flat, tree = jax.tree.flatten(vals)
+            return jax.tree.unflatten(tree, jax.lax.optimization_barrier(flat))
+
+        def body(state, xs):
+            ia, ib, key = xs
+            k = jax.random.split(key, 3)
+            # stage 1: current-step translations (both generators, no grads)
+            real_a = self._shard_constraint(data_a.gather(ia))
+            real_b = self._shard_constraint(data_b.gather(ib))
+            fake_b = self._g(self.gen_a, state.gen_a, real_a)
+            fake_a = self._g(self.gen_b, state.gen_b, real_b)
+            state, real_a, real_b, fake_a, fake_b = barrier(
+                state, real_a, real_b, fake_a, fake_b)
+
+            # stage 2: generator A update
+            gen_a, opt_ga, ma = self._gen_update(
+                "a", state.gen_a, state.opt_ga, state.disc_b,
+                real_a, real_b, fake_a, k[0])
+            state, gen_a, opt_ga, ma, real_a, real_b, fake_a, fake_b = barrier(
+                state, gen_a, opt_ga, ma, real_a, real_b, fake_a, fake_b)
+
+            # stage 3: generator B update
+            gen_b, opt_gb, mb = self._gen_update(
+                "b", state.gen_b, state.opt_gb, state.disc_a,
+                real_b, real_a, fake_b, k[1])
+            state, gen_a, opt_ga, gen_b, opt_gb, ma, mb, real_a, real_b, \
+                fake_a, fake_b = barrier(
+                    state, gen_a, opt_ga, gen_b, opt_gb, ma, mb,
+                    real_a, real_b, fake_a, fake_b)
+
+            # stage 4: both discriminators + history pools
+            disc_a, disc_b, opt_da, opt_db, pool_a, pool_b, daux = \
+                self._disc_core(state.disc_a, state.disc_b, state.opt_da,
+                                state.opt_db, state.pool_a, state.pool_b,
+                                real_a, real_b, fake_a, fake_b, k[2])
+
+            new_state = CycleGANState(
+                gen_a=gen_a, gen_b=gen_b, disc_a=disc_a, disc_b=disc_b,
+                opt_ga=opt_ga, opt_gb=opt_gb, opt_da=opt_da, opt_db=opt_db,
+                pool_a=pool_a, pool_b=pool_b, step=state.step + 1)
+            m = {"g_a": ma["g"], "g_adv_a": ma["adv"], "g_cyc_a": ma["cyc"],
+                 "g_id_a": ma["id"], "g_b": mb["g"], "g_adv_b": mb["adv"],
+                 "g_cyc_b": mb["cyc"], "g_id_b": mb["id"], **daux}
+            return new_state, jnp.stack([m[kk] for kk in self.METRIC_KEYS])
+
+        state, ms = jax.lax.scan(body, state, (idx_a, idx_b, keys))
+        return state, jnp.sum(ms, axis=0)
+
     # -- fit -------------------------------------------------------------------
     def fit(self, dataset: PairedDomainDataset, model_dir: str | None = None,
             image_dir: str | None = None, test_a=None, test_b=None,
@@ -377,9 +456,11 @@ class CycleGANTrainer:
         from semtpu.data.dataset import as_device_images
         dev_a = as_device_images(dataset.a, self.mesh, dataset.a_preproc)
         dev_b = as_device_images(dataset.b, self.mesh, dataset.b_preproc)
-        metric_keys = ("g_a", "g_b", "g_adv_a", "g_adv_b", "g_cyc_a", "g_cyc_b",
-                       "g_id_a", "g_id_b", "d_a", "d_b", "d_real_a", "d_fake_a",
-                       "d_real_b", "d_fake_b")
+        metric_keys = self.METRIC_KEYS
+        scan_k = max(int(cfg.scan_steps), 1)
+        # per-chunk step keys are built on HOST (raw uint32 pairs == old-style
+        # PRNG keys): no extra device dispatch rides every chunk
+        key_rng = np.random.default_rng(cfg.seed + 1)
 
         for epoch in range(cfg.epochs):
             t0 = time.time()
@@ -387,13 +468,27 @@ class CycleGANTrainer:
             ia = rng.permutation(len(dataset.a))
             ib = rng.permutation(len(dataset.b))
             n_steps = min(len(ia), len(ib)) // bs
-            for k_ in range(n_steps):
-                key, sub = jax.random.split(key)
-                self.state, metrics = self.train_step(
-                    self.state, dev_a, dev_b,
-                    jnp.asarray(ia[k_ * bs:(k_ + 1) * bs]),
-                    jnp.asarray(ib[k_ * bs:(k_ + 1) * bs]), sub)
-                msum = msum + jnp.stack([metrics[kk] for kk in metric_keys])
+            if scan_k > 1:
+                pos = 0
+                while pos < n_steps:
+                    k_ = min(scan_k, n_steps - pos)
+                    sl_a = ia[pos * bs:(pos + k_) * bs].reshape(k_, bs)
+                    sl_b = ib[pos * bs:(pos + k_) * bs].reshape(k_, bs)
+                    keys = key_rng.integers(0, 2**32, size=(k_, 2),
+                                            dtype=np.uint32)
+                    self.state, sums = self.train_steps_scan(
+                        self.state, dev_a, dev_b, jnp.asarray(sl_a),
+                        jnp.asarray(sl_b), jnp.asarray(keys))
+                    msum = msum + sums
+                    pos += k_
+            else:
+                for k_ in range(n_steps):
+                    key, sub = jax.random.split(key)
+                    self.state, metrics = self.train_step(
+                        self.state, dev_a, dev_b,
+                        jnp.asarray(ia[k_ * bs:(k_ + 1) * bs]),
+                        jnp.asarray(ib[k_ * bs:(k_ + 1) * bs]), sub)
+                    msum = msum + jnp.stack([metrics[kk] for kk in metric_keys])
             ep = dict(zip(metric_keys,
                           (np.asarray(jax.device_get(msum)) / n_steps).tolist()))
             for kk, v in ep.items():

@@ -52,6 +52,48 @@ def test_pool_fills_then_swaps():
     assert stored <= set(np.arange(1.0, 9.0))
 
 
+def test_scan_steps_match_legacy_steps():
+    """A scanned step == the 4-stage dispatch step, given the same per-step
+    key (the scan only amortizes dispatches, never semantics). float32 so
+    the comparison isn't washed out by bf16 fusion-order noise."""
+    rng = np.random.default_rng(7)
+    a, b = domains(rng)
+    from semtpu.data.dataset import as_device_images
+    keys = rng.integers(0, 2**32, size=(3, 2), dtype=np.uint32)
+    idx_a = rng.integers(0, len(a), size=(3, 4))
+    idx_b = rng.integers(0, len(b), size=(3, 4))
+
+    tr1 = CycleGANTrainer(tiny_config(seed=5, compute_dtype=jnp.float32))
+    tr1.create_state(steps_per_epoch=2)
+    dev_a = as_device_images(a, tr1.mesh)
+    dev_b = as_device_images(b, tr1.mesh)
+    s1, _ = tr1.train_step(tr1.state, dev_a, dev_b, jnp.asarray(idx_a[0]),
+                           jnp.asarray(idx_b[0]), jnp.asarray(keys[0]))
+
+    tr2 = CycleGANTrainer(tiny_config(seed=5, compute_dtype=jnp.float32))
+    tr2.create_state(steps_per_epoch=2)
+    s2, _ = tr2.train_steps_scan(tr2.state, dev_a, dev_b,
+                                 jnp.asarray(idx_a[:1]),
+                                 jnp.asarray(idx_b[:1]),
+                                 jnp.asarray(keys[:1]))
+    flat1 = (jax.tree.leaves(s1.gen_a) + jax.tree.leaves(s1.gen_b)
+             + jax.tree.leaves(s1.disc_a) + jax.tree.leaves(s1.disc_b)
+             + [s1.pool_a.images, s1.pool_a.num])
+    flat2 = (jax.tree.leaves(s2.gen_a) + jax.tree.leaves(s2.gen_b)
+             + jax.tree.leaves(s2.disc_a) + jax.tree.leaves(s2.disc_b)
+             + [s2.pool_a.images, s2.pool_a.num])
+    for x, y in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=1e-6)
+
+    # multi-step scan advances the step counter once per inner step
+    s3, ms = tr2.train_steps_scan(s2, dev_a, dev_b, jnp.asarray(idx_a[1:]),
+                                  jnp.asarray(idx_b[1:]),
+                                  jnp.asarray(keys[1:]))
+    assert int(s3.step) == 3
+    assert np.isfinite(np.asarray(ms)).all()
+
+
 def test_training_metrics_finite(trained):
     _, hist, _ = trained
     assert set(hist) == {"g_a", "g_b", "g_adv_a", "g_adv_b", "g_cyc_a",

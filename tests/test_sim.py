@@ -83,6 +83,50 @@ def test_render_composites_separated_instances():
     assert sizes.max() < 2.5 * np.pi * 9 ** 2   # no merged blob
 
 
+def test_bank_path_matches_legacy_statistics():
+    """The prepared-particle bank + candidate budget must reproduce the
+    legacy per-canvas path's saturation: similar placed counts and the
+    same separation property."""
+    cfg = SimulatorConfig(img_width=128, img_height=128, max_overlap=0.05,
+                          use_perlin_noise=False, grid_type="HEXAGONAL",
+                          grid_spacing_factor=1.2, grid_noise_factor=0.05)
+    sim = MaskSimulator(cfg, (24, 24))
+    rng = np.random.default_rng(0)
+    plan = sim.plan(rng, jax.random.PRNGKey(0))
+    samples = disc_sampler(len(plan["valid"]))
+    legacy_img, _ = sim.render(jnp.asarray(samples), plan)
+    # in-crop instance count (placements land on the full padded canvas;
+    # only the crop is observable)
+    _, ncc_legacy = ndi.label(np.asarray(legacy_img) > 0,
+                              structure=np.ones((3, 3)))
+
+    out = sim.simulate(disc_sampler, 6, canvases_per_dispatch=3)
+    assert len(out) == 6
+    import scipy.ndimage as ndi2
+    counts = []
+    for img in out:
+        assert img.shape == (128, 128)
+        assert set(np.unique(img)) <= {0, 255}
+        lab, ncc = ndi2.label(img > 0, structure=np.ones((3, 3)))
+        counts.append(ncc)
+        if ncc:
+            sizes = np.bincount(lab.ravel())[1:]
+            assert sizes.max() < 2.5 * np.pi * 9 ** 2   # no merged blob
+    # saturated placements in the same regime as the legacy path
+    assert 0.5 * ncc_legacy < np.mean(counts) < 2.0 * max(ncc_legacy, 1)
+
+
+def test_budget_subsample_keeps_sequence_order():
+    cfg = SimulatorConfig(img_width=96, img_height=96, max_overlap=0.5,
+                          use_perlin_noise=False)
+    sim = MaskSimulator(cfg, (24, 24))
+    plan = sim.plan(np.random.default_rng(0), jax.random.PRNGKey(0), budget=64)
+    assert plan["n"] <= 64
+    # subsampled hex-grid candidates stay in row-major sequence order
+    ys = plan["pos_y"][:plan["n"]]
+    assert (np.diff(ys.astype(np.int64)) >= -sim.particle_h).all()
+
+
 def test_simulate_writes_files(tmp_path):
     cfg = SimulatorConfig(img_width=64, img_height=64, max_overlap=0.3,
                           use_perlin_noise=True, grid_spacing_factor=1.0)
