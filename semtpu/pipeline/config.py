@@ -73,6 +73,11 @@ class PipelineConfig:
     unet_min_distance: int = 9
     min_overlap: int = 2
     manage_overlap_mode: int = 2
+    # bottom rows that are instrument metadata, not sample: excluded from the
+    # CycleGAN SEM domain and zeroed in inference outputs (reference crop
+    # convention [0:712, 0:1024]: `Predict_Classes_And_Measure.py:27-28`,
+    # `Calculate_Scores.py:203`). 0 disables.
+    metadata_bar_rows: int = 0
 
     # use_dataloader (StartProcess.py:43) controlled RAM usage in the
     # reference; the data layer here is HBM/host-array resident by design

@@ -43,6 +43,11 @@ class Pipeline:
         imgs = load_and_preprocess_images(cfg.input_dir_images,
                                           normalization_range=None,
                                           output_channels=1)
+        if cfg.metadata_bar_rows > 0:
+            # drop the instrument metadata bar so it never enters the
+            # CycleGAN SEM domain (reference crop convention: 1024x712,
+            # `Predict_Classes_And_Measure.py:27-28`, `Calculate_Scores.py:203`)
+            imgs = imgs[:, :imgs.shape[1] - cfg.metadata_bar_rows]
         filenames = get_image_file_paths_from_directory(cfg.input_dir_images)
         rnd = random.Random(cfg.seed)
 
@@ -321,7 +326,8 @@ class Pipeline:
                               watershed_lines=cfg.unet_watershed_lines,
                               min_distance=cfg.unet_min_distance,
                               min_overlap=cfg.min_overlap,
-                              manage_overlap_mode=cfg.manage_overlap_mode)
+                              manage_overlap_mode=cfg.manage_overlap_mode,
+                              zero_bottom_rows=cfg.metadata_bar_rows)
 
     # ---------------------------------------------------------------- all
     STEPS = {

@@ -38,6 +38,24 @@ def load_checkpoint(path: str, target=None):
     return ckpt.restore(path)
 
 
+def restructure_opt_state(raw, template):
+    """Rebuild an optimizer-state pytree from a raw Orbax restore.
+
+    A structure-less restore returns nested lists/dicts; optax states are
+    namedtuples. Leaf order is deterministic for a fixed tree, so
+    reflattening the raw leaves into the template's treedef (from
+    `tx.init(params)`) reconstructs the exact optimizer state.
+    """
+    leaves = jax.tree.leaves(raw)
+    tmpl_leaves, treedef = jax.tree.flatten(template)
+    if len(leaves) != len(tmpl_leaves):
+        raise ValueError(
+            f"optimizer state layout mismatch: checkpoint has {len(leaves)} "
+            f"leaves, the rebuilt optimizer expects {len(tmpl_leaves)} — was "
+            "the checkpoint written with a different optimizer/schedule?")
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def latest_checkpoint(model_dir: str, pattern: str = r".*") -> str | None:
     """Latest checkpoint directory under `model_dir` by name order
     (the reference's resume-from-latest convention)."""

@@ -145,6 +145,7 @@ class CycleGANTrainer:
         self.disc_b = PatchGANDiscriminator(**disc_common)
         self.state: CycleGANState | None = None
         self._tx = None
+        self._steps_per_epoch = 1
 
     # -- loss selections (reference create_model, CycleGAN.py:116-121) -------
     def _cycle_loss_a(self, y_true, y_pred):
@@ -164,6 +165,7 @@ class CycleGANTrainer:
 
     def create_state(self, steps_per_epoch: int = 1) -> CycleGANState:
         cfg = self.config
+        self._steps_per_epoch = int(steps_per_epoch)
         self._tx = self._make_tx(steps_per_epoch)
         rng = jax.random.PRNGKey(cfg.seed)
         k = jax.random.split(rng, 4)
@@ -652,12 +654,28 @@ class CycleGANTrainer:
         return out
 
     # -- persistence ------------------------------------------------------------
-    def save(self, path: str):
+    def save(self, path: str, include_opt: bool = True):
+        """Checkpoint. `include_opt=True` (default) persists the four Adam
+        states, both history pools, the step counter and the schedule
+        geometry, so `load` resumes training EXACTLY (the reference saves
+        whole optimizer-bearing models per epoch, `CycleGAN.py:203-204`);
+        False writes the four networks only (4x smaller)."""
         s = self.state
-        save_checkpoint(path, {k: jax.device_get(getattr(s, k))
-                               for k in ("gen_a", "gen_b", "disc_a", "disc_b")})
+        payload = {k: jax.device_get(getattr(s, k))
+                   for k in ("gen_a", "gen_b", "disc_a", "disc_b")}
+        if include_opt:
+            for k in ("opt_ga", "opt_gb", "opt_da", "opt_db"):
+                payload[k] = jax.device_get(getattr(s, k))
+            payload["pool_a_images"] = jax.device_get(s.pool_a.images)
+            payload["pool_a_num"] = np.int32(jax.device_get(s.pool_a.num))
+            payload["pool_b_images"] = jax.device_get(s.pool_b.images)
+            payload["pool_b_num"] = np.int32(jax.device_get(s.pool_b.num))
+            payload["step"] = np.int32(jax.device_get(s.step))
+            payload["steps_per_epoch"] = np.int32(self._steps_per_epoch)
+        save_checkpoint(path, payload)
 
     def load(self, path_or_model_dir: str):
+        from semtpu.train.checkpoint import restructure_opt_state
         path = path_or_model_dir
         if os.path.isdir(path) and not os.path.isdir(os.path.join(path, "gen_a")):
             run = latest_checkpoint(path) or path
@@ -666,6 +684,27 @@ class CycleGANTrainer:
             if cands:
                 path = os.path.join(run, "model" if "model" in cands else cands[-1])
         payload = load_checkpoint(path)
+        if "opt_ga" in payload:
+            self._steps_per_epoch = int(payload["steps_per_epoch"])
+            self._tx = self._make_tx(self._steps_per_epoch)
+            state = CycleGANState(
+                gen_a=payload["gen_a"], gen_b=payload["gen_b"],
+                disc_a=payload["disc_a"], disc_b=payload["disc_b"],
+                opt_ga=restructure_opt_state(payload["opt_ga"],
+                                             self._tx.init(payload["gen_a"])),
+                opt_gb=restructure_opt_state(payload["opt_gb"],
+                                             self._tx.init(payload["gen_b"])),
+                opt_da=restructure_opt_state(payload["opt_da"],
+                                             self._tx.init(payload["disc_a"])),
+                opt_db=restructure_opt_state(payload["opt_db"],
+                                             self._tx.init(payload["disc_b"])),
+                pool_a=PoolState(images=jnp.asarray(payload["pool_a_images"]),
+                                 num=jnp.asarray(payload["pool_a_num"], jnp.int32)),
+                pool_b=PoolState(images=jnp.asarray(payload["pool_b_images"]),
+                                 num=jnp.asarray(payload["pool_b_num"], jnp.int32)),
+                step=jnp.asarray(payload["step"], jnp.int32))
+            self.state = replicate(state, self.mesh)
+            return self.state
         if self.state is None:
             self.create_state()
         self.state = self.state.replace(

@@ -71,6 +71,7 @@ class UNetTrainer:
                                   dtype=self.config.compute_dtype)
         self.state: TrainState | None = None
         self._weighting = 1.0
+        self._steps_per_epoch = 1
 
     # -- state ---------------------------------------------------------------
     def create_state(self, weighting: float, steps_per_epoch: int,
@@ -83,13 +84,8 @@ class UNetTrainer:
         variables = jax.jit(partial(self.model.init, train=False))(
             rng, jnp.zeros(sample_shape, jnp.float32))
 
-        if isinstance(cfg.lr_decay, float):
-            tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.lr_decay)
-        elif cfg.lr_decay == "LINEAR_DECAY":
-            tx = optax.adam(linear_decay_schedule(cfg.learning_rate,
-                                                  steps_per_epoch, cfg.epochs))
-        else:
-            tx = optax.adam(step_decay_schedule(cfg.learning_rate, steps_per_epoch))
+        self._steps_per_epoch = int(steps_per_epoch)
+        tx = self._build_tx(steps_per_epoch)
 
         state = TrainState.create(apply_fn=self.model.apply,
                                   params=variables["params"], tx=tx,
@@ -283,20 +279,44 @@ class UNetTrainer:
 
             if model_dir and train_m["loss"] < best_loss:
                 best_loss = train_m["loss"]
-                self.save(os.path.join(model_dir, "checkpoint_lowest_loss"))
+                # weights-only: a best-model snapshot, not a resume point
+                self.save(os.path.join(model_dir, "checkpoint_lowest_loss"),
+                          include_opt=False)
 
         if model_dir:
             self.save(os.path.join(model_dir, "model"))
         return history
 
+    def _build_tx(self, steps_per_epoch: int):
+        cfg = self.config
+        if isinstance(cfg.lr_decay, float):
+            return optax.adamw(cfg.learning_rate, weight_decay=cfg.lr_decay)
+        if cfg.lr_decay == "LINEAR_DECAY":
+            return optax.adam(linear_decay_schedule(cfg.learning_rate,
+                                                    steps_per_epoch, cfg.epochs))
+        return optax.adam(step_decay_schedule(cfg.learning_rate, steps_per_epoch))
+
     # -- persistence ---------------------------------------------------------
-    def save(self, path: str):
+    def save(self, path: str, include_opt: bool = True):
+        """Checkpoint. `include_opt=True` (default) persists optimizer
+        moments + step + schedule geometry, so `load` resumes EXACTLY;
+        False writes a weights-only snapshot (3x smaller)."""
         payload = {"params": jax.device_get(self.state.params),
                    "batch_stats": jax.device_get(self.state.batch_stats),
                    "weighting": np.float32(self._weighting)}
+        if include_opt:
+            payload["opt_state"] = jax.device_get(self.state.opt_state)
+            payload["step"] = np.int32(jax.device_get(self.state.step))
+            payload["steps_per_epoch"] = np.int32(self._steps_per_epoch)
         save_checkpoint(path, payload)
 
     def load(self, path_or_model_dir: str):
+        """Restore a checkpoint. When optimizer state was saved, the
+        optimizer (including the LR-schedule position) is reconstructed so
+        continued training is EXACTLY the run that wrote the checkpoint;
+        weights-only checkpoints restore with a fresh no-op optimizer
+        (inference / fine-tune-from-weights)."""
+        from semtpu.train.checkpoint import restructure_opt_state
         path = path_or_model_dir
         if not os.path.isdir(os.path.join(path, "params")) and os.path.isdir(path):
             # model dir: pick latest run, prefer final model over best-loss ckpt
@@ -307,10 +327,21 @@ class UNetTrainer:
                     break
         payload = load_checkpoint(path)
         self._weighting = float(payload.get("weighting", 1.0))
-        dummy_tx = optax.identity()
-        state = TrainState.create(apply_fn=self.model.apply,
-                                  params=payload["params"], tx=dummy_tx,
-                                  batch_stats=payload["batch_stats"])
+        if "opt_state" in payload:
+            self._steps_per_epoch = int(payload["steps_per_epoch"])
+            tx = self._build_tx(self._steps_per_epoch)
+            state = TrainState.create(apply_fn=self.model.apply,
+                                      params=payload["params"], tx=tx,
+                                      batch_stats=payload["batch_stats"])
+            state = state.replace(
+                step=jnp.asarray(payload["step"], jnp.int32),
+                opt_state=restructure_opt_state(payload["opt_state"],
+                                                state.opt_state))
+        else:
+            state = TrainState.create(apply_fn=self.model.apply,
+                                      params=payload["params"],
+                                      tx=optax.identity(),
+                                      batch_stats=payload["batch_stats"])
         self.state = replicate(state, self.mesh)
         return self.state
 
@@ -341,12 +372,16 @@ class UNetTrainer:
                       output_directory: str | None = None, tile_images: bool = True,
                       threshold: float = -1.0, watershed_lines: bool = True,
                       min_distance: int = 9, min_overlap: int = 2,
-                      manage_overlap_mode: int = 2) -> list[np.ndarray]:
+                      manage_overlap_mode: int = 2,
+                      zero_bottom_rows: int = 0) -> list[np.ndarray]:
         """Full inference + instance postprocessing for a batch of images.
 
         Saves `<stem>_raw.tif` (raw float map) and `<stem>.tif` (binary
         instance mask) per image when `output_directory` is given — the
         reference's output contract (`UNet_Segmentation.py:344-351`).
+        `zero_bottom_rows` clears an instrument metadata bar from the raw
+        map before segmentation (reference crop convention [0:712, 0:1024],
+        `Predict_Classes_And_Measure.py:27-28`).
         """
         from PIL import Image as PILImage
         results = []
@@ -354,6 +389,9 @@ class UNetTrainer:
             raw = self.predict_image(images[i], tile_images=tile_images,
                                      min_overlap=min_overlap,
                                      manage_overlap_mode=manage_overlap_mode)[:, :, 0]
+            if zero_bottom_rows > 0:
+                raw = raw.copy()
+                raw[raw.shape[0] - zero_bottom_rows:] = 0.0
             if output_directory and output_names:
                 stem = os.path.splitext(os.path.basename(output_names[i]))[0]
                 PILImage.fromarray(raw).save(

@@ -291,22 +291,34 @@ class WGANTrainer:
         Image.fromarray(grid).save(path)
 
     # -- persistence ----------------------------------------------------------
-    def save(self, path: str):
-        save_checkpoint(path, {"g_params": jax.device_get(self.state.g_params),
-                               "g_stats": jax.device_get(self.state.g_stats),
-                               "d_params": jax.device_get(self.state.d_params)})
+    def save(self, path: str, include_opt: bool = True):
+        """Checkpoint; `include_opt=True` persists both Adam states + step
+        so `load` resumes training EXACTLY."""
+        payload = {"g_params": jax.device_get(self.state.g_params),
+                   "g_stats": jax.device_get(self.state.g_stats),
+                   "d_params": jax.device_get(self.state.d_params)}
+        if include_opt:
+            payload["g_opt"] = jax.device_get(self.state.g_opt)
+            payload["d_opt"] = jax.device_get(self.state.d_opt)
+            payload["step"] = np.int32(jax.device_get(self.state.step))
+        save_checkpoint(path, payload)
 
     def load(self, path_or_model_dir: str):
+        from semtpu.train.checkpoint import restructure_opt_state
         path = path_or_model_dir
         if os.path.isdir(path) and not os.path.isdir(os.path.join(path, "g_params")):
             run = latest_checkpoint(path) or path
             if os.path.isdir(os.path.join(run, "model")):
                 path = os.path.join(run, "model")
         payload = load_checkpoint(path)
+        g_opt = self.g_tx.init(payload["g_params"])
+        d_opt = self.d_tx.init(payload["d_params"])
+        if "g_opt" in payload:
+            g_opt = restructure_opt_state(payload["g_opt"], g_opt)
+            d_opt = restructure_opt_state(payload["d_opt"], d_opt)
         state = WGANState(g_params=payload["g_params"], g_stats=payload["g_stats"],
                           d_params=payload["d_params"],
-                          g_opt=self.g_tx.init(payload["g_params"]),
-                          d_opt=self.d_tx.init(payload["d_params"]),
-                          step=jnp.zeros((), jnp.int32))
+                          g_opt=g_opt, d_opt=d_opt,
+                          step=jnp.asarray(payload.get("step", 0), jnp.int32))
         self.state = replicate(state, self.mesh)
         return self.state

@@ -130,3 +130,17 @@ def test_run_inference_outputs(tmp_path, trained):
     assert set(np.unique(res[0])) <= {0, 255}
     assert os.path.isfile(os.path.join(outdir, "a_raw.tif"))
     assert os.path.isfile(os.path.join(outdir, "a.tif"))
+
+
+def test_run_inference_zeroes_metadata_bar(tmp_path, trained):
+    from PIL import Image
+    trainer, _, (imgs, _) = trained
+    outdir = str(tmp_path / "bar")
+    os.makedirs(outdir)
+    res = trainer.run_inference(imgs[:1], ["a.tif"], outdir,
+                                tile_images=False, threshold=0.5,
+                                zero_bottom_rows=8)
+    assert (res[0][-8:] == 0).all()
+    raw = np.array(Image.open(os.path.join(outdir, "a_raw.tif")))
+    assert (raw[-8:] == 0).all()
+    assert raw[:-8].max() > 0
