@@ -79,6 +79,14 @@ class PipelineConfig:
     # `Calculate_Scores.py:203`). 0 disables.
     metadata_bar_rows: int = 0
 
+    # optional second-stage classifier (step 7): auto-filter particles by
+    # per-pixel class score before measuring
+    # (`Other Scripts/Predict_Classes_And_Measure.py:223-357`). The step is
+    # a no-op unless a trained classifier checkpoint dir is configured.
+    classifier_model_dir: str | None = None
+    classifier_filters: int = 16
+    classifier_score_threshold: float = 0.5
+
     # use_dataloader (StartProcess.py:43) controlled RAM usage in the
     # reference; the data layer here is HBM/host-array resident by design
     use_dataloader: bool = False

@@ -329,6 +329,43 @@ class Pipeline:
                               manage_overlap_mode=cfg.manage_overlap_mode,
                               zero_bottom_rows=cfg.metadata_bar_rows)
 
+    # ------------------------------------------------------------- step 7
+    def step_7_classify_and_measure(self):
+        """Optional second-stage classifier over the UNet raw maps:
+        auto-filter particles by mean class score and write the
+        `Results_*.csv` size table (`Predict_Classes_And_Measure.py:300-357`).
+        No-op unless `classifier_model_dir` is configured."""
+        cfg = self.cfg
+        if not cfg.classifier_model_dir:
+            print("Step 7: no classifier_model_dir configured — skipping.")
+            return
+        print("Step 7: Classifying and measuring UNet segmentations...")
+        from semtpu.classify import main as classify_main
+        import shutil as _sh
+        # the classification-only contract wants <masks_root>/<tag>/<stem>.tif
+        masks_root = os.path.join(cfg.root_dir, "Masks_Predicted")
+        tag_dir = os.path.join(masks_root, "UNet")
+        os.makedirs(tag_dir, exist_ok=True)
+        for f in os.listdir(cfg.output_dir_unet):
+            if f.endswith("_raw.tif"):
+                _sh.copy(os.path.join(cfg.output_dir_unet, f),
+                         os.path.join(tag_dir, f.replace("_raw", "")))
+        h = None
+        files = get_image_file_paths_from_directory(cfg.input_dir_images)
+        if files:
+            from PIL import Image as PILImage
+            h = PILImage.open(files[0]).height - cfg.metadata_bar_rows
+        classify_main([
+            "classification-only",
+            "--classifier", cfg.classifier_model_dir,
+            "--classifier-filters", str(cfg.classifier_filters),
+            "--images", cfg.input_dir_images,
+            "--output", cfg.root_dir,
+            "--masks-root", masks_root,
+            "--threshold", str(cfg.classifier_score_threshold),
+            "--tile-h", str(cfg.tile_size_h), "--tile-w", str(cfg.tile_size_w),
+        ] + (["--image-height", str(h)] if h else []))
+
     # ---------------------------------------------------------------- all
     STEPS = {
         "0": "step_0_prepare",
@@ -339,6 +376,7 @@ class Pipeline:
         "5": "step_5_filter_masks",
         "6a": "step_6a_train_unet",
         "6b": "step_6b_unet_inference",
+        "7": "step_7_classify_and_measure",
     }
 
     def run(self, steps: list[str] | None = None):
