@@ -8,3 +8,9 @@ from semtpu.eval.metrics import (
     pixel_error,
 )
 from semtpu.eval.sweep import evaluate_predictions, threshold_sweep
+from semtpu.eval.topo import (
+    pixel_error_maximal_fscore,
+    foreground_restricted_rand_error,
+    warping_error,
+    warp_ground_truth,
+)

@@ -30,6 +30,13 @@ def main(argv=None):
                    default=True)
     p.add_argument("--single-model", action="store_true",
                    help="treat --input-dir itself as one model directory")
+    p.add_argument("--topo-metrics", action="store_true",
+                   help="also score pixel error / warping error / "
+                        "foreground-restricted Rand (ImageJ plugin parity, "
+                        "calculate_Metrics.java — slow: warping iterates)")
+    p.add_argument("--crop-height", type=int, default=712,
+                   help="topo-metric crop (plugin ROI 1024x712)")
+    p.add_argument("--crop-width", type=int, default=1024)
     args = p.parse_args(argv)
 
     out_root = args.output_dir or os.path.dirname(os.path.abspath(args.input_dir))
@@ -73,6 +80,50 @@ def main(argv=None):
     with open(roc_csv, "a") as fh:
         fh.write("\n".join(roc_rows) + "\n\n\n" + "\n".join(youden_rows) + "\n")
     print(f"Wrote {iou_csv} and {roc_csv}")
+
+    if args.topo_metrics:
+        topo_csv = os.path.join(out_root, f"TopologyMetrics{suffix}.csv")
+        rows = ["Model Name;Minimum Pixel Error;Minimum Warping Error;"
+                "Minimum foreground-restricted Rand error;"
+                "Minimum foreground-restricted Rand error after thinning"]
+        for d in model_dirs:
+            name = os.path.basename(d.rstrip("/"))
+            print(f"Topology metrics for {name}...")
+            vals = topo_scores(d, args.ground_truth_dir,
+                               args.crop_height, args.crop_width)
+            rows.append(f"{name};" + ";".join(f"{v}" for v in vals))
+            print(f"  pixelE={vals[0]:.4f} warpE={vals[1]:.6f} "
+                  f"randE={vals[2]:.4f} randE(thin)={vals[3]:.4f}")
+        with open(topo_csv, "a") as fh:
+            fh.write("\n".join(rows) + "\n")
+        print(f"Wrote {topo_csv}")
+
+
+def topo_scores(pred_dir: str, gt_dir: str, crop_h: int = 712,
+                crop_w: int = 1024):
+    """Average the ImageJ-plugin topology metrics over the GT set
+    (`calculate_Metrics.java:92-150`, ROI-cropped to crop_w x crop_h)."""
+    import numpy as np
+    from PIL import Image
+    from semtpu.eval.topo import (pixel_error_maximal_fscore, warping_error,
+                                  foreground_restricted_rand_error)
+    gts = sorted(f for f in os.listdir(gt_dir) if f.endswith(".tif"))
+    sums = np.zeros(4)
+    n = 0
+    for g in gts:
+        pred_f = os.path.join(pred_dir, g.replace("_m", ""))
+        if not os.path.isfile(pred_f):
+            continue
+        gt = np.array(Image.open(os.path.join(gt_dir, g)))[:crop_h, :crop_w]
+        pred = np.array(Image.open(pred_f)).astype(np.float32)[:crop_h, :crop_w]
+        sums += [pixel_error_maximal_fscore(pred, gt),
+                 warping_error(pred, gt),
+                 foreground_restricted_rand_error(pred, gt),
+                 foreground_restricted_rand_error(pred, gt, thinning=True)]
+        n += 1
+    if n == 0:
+        raise FileNotFoundError(f"no predictions matching {gt_dir} in {pred_dir}")
+    return sums / n
 
 
 if __name__ == "__main__":
