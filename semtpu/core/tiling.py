@@ -143,35 +143,57 @@ def stitch_image(
     mode = OverlapMode(manage_overlap_mode)
     out = jnp.zeros((image_size_h, image_size_w, c), dtype=jnp.float32)
 
+    # All modes run as ONE lax.scan over the tile stack: the body compiles
+    # once, so a 100+-tile image costs the same compile as a 9-tile one
+    # (the per-tile unrolled updates scaled compile time linearly).
+    ys_d = jnp.asarray(ys)
+    xs_d = jnp.asarray(xs)
+
     if mode == OverlapMode.MAX:
-        for k in range(n_tiles):
-            y, x = int(ys[k]), int(xs[k])
-            cur = jax.lax.dynamic_slice(out, (y, x, 0), (th, tw, c))
-            out = jax.lax.dynamic_update_slice(out, jnp.maximum(cur, tiles[k]), (y, x, 0))
+        def body(acc, xs_):
+            tile, y, x = xs_
+            cur = jax.lax.dynamic_slice(acc, (y, x, 0), (th, tw, c))
+            return jax.lax.dynamic_update_slice(
+                acc, jnp.maximum(cur, tile), (y, x, 0)), None
+        out, _ = jax.lax.scan(body, out, (tiles, ys_d, xs_d))
     elif mode == OverlapMode.AVERAGE:
-        counts = jnp.zeros_like(out)
-        for k in range(n_tiles):
-            y, x = int(ys[k]), int(xs[k])
-            cur = jax.lax.dynamic_slice(out, (y, x, 0), (th, tw, c))
-            out = jax.lax.dynamic_update_slice(out, cur + tiles[k], (y, x, 0))
+        def body(carry, xs_):
+            acc, counts = carry
+            tile, y, x = xs_
+            cur = jax.lax.dynamic_slice(acc, (y, x, 0), (th, tw, c))
+            acc = jax.lax.dynamic_update_slice(acc, cur + tile, (y, x, 0))
             ccur = jax.lax.dynamic_slice(counts, (y, x, 0), (th, tw, c))
             counts = jax.lax.dynamic_update_slice(counts, ccur + 1.0, (y, x, 0))
+            return (acc, counts), None
+        (out, counts), _ = jax.lax.scan(body, (out, jnp.zeros_like(out)),
+                                        (tiles, ys_d, xs_d))
         out = out / counts
     elif mode == OverlapMode.CROP:
         # Half-overlap trim per interior edge (reference integer formula).
+        # Ragged patch shapes become per-tile keep-masks over the full tile
+        # window, so the scan body stays static-shaped.
         ov_x = (tw * n_x - image_size_w) // (2 * (n_x - 1)) if n_x > 1 else 0
         ov_y = (th * n_y - image_size_h) // (2 * (n_y - 1)) if n_y > 1 else 0
-        k = 0
-        for i in range(n_x):
-            cxl = 0 if i == 0 else ov_x
-            cxr = 0 if i == n_x - 1 else ov_x
-            for j in range(n_y):
-                cyt = 0 if j == 0 else ov_y
-                cyb = 0 if j == n_y - 1 else ov_y
-                y, x = int(ys[k]) + cyt, int(xs[k]) + cxl
-                patch = tiles[k, cyt:th - cyb, cxl:tw - cxr, :]
-                out = jax.lax.dynamic_update_slice(out, patch, (y, x, 0))
-                k += 1
+        gi = np.repeat(np.arange(n_x), n_y)     # outer loop over x
+        gj = np.tile(np.arange(n_y), n_x)
+        cxl = np.where(gi == 0, 0, ov_x).astype(np.int32)
+        cxr = np.where(gi == n_x - 1, 0, ov_x).astype(np.int32)
+        cyt = np.where(gj == 0, 0, ov_y).astype(np.int32)
+        cyb = np.where(gj == n_y - 1, 0, ov_y).astype(np.int32)
+        rows = jnp.arange(th)[:, None, None]
+        cols = jnp.arange(tw)[None, :, None]
+
+        def body(acc, xs_):
+            tile, y, x, t, b, l, r = xs_
+            keep = ((rows >= t) & (rows < th - b)
+                    & (cols >= l) & (cols < tw - r))
+            cur = jax.lax.dynamic_slice(acc, (y, x, 0), (th, tw, c))
+            return jax.lax.dynamic_update_slice(
+                acc, jnp.where(keep, tile, cur), (y, x, 0)), None
+        out, _ = jax.lax.scan(body, out,
+                              (tiles, ys_d, xs_d, jnp.asarray(cyt),
+                               jnp.asarray(cyb), jnp.asarray(cxl),
+                               jnp.asarray(cxr)))
     else:
         raise ValueError(f"unknown overlap mode {manage_overlap_mode}")
 

@@ -168,13 +168,16 @@ class DeviceImages:
     @classmethod
     def from_uint8(cls, arr, normalization_range=(0.0, 1.0),
                    contrast_optimization_range=None, threshold=None,
-                   invert=False, aug_contrast=False):
+                   invert=False, aug_contrast=False, host=False):
         """Build from a raw (N, H, W[, C]) uint8 stack on host.
 
         aug_contrast=True additionally stores per-image 256-bin cumulative
         histograms so `gather_train` can draw EXACT randomized percentile
         clip windows on device (brightness/contrast augmentation,
         `UNet_Segmentation.py:83-87`).
+
+        host=True keeps every leaf as numpy (no upload): the streaming
+        path slices such an instance per chunk with `slice_device_images`.
         """
         a = np.asarray(arr)
         assert a.dtype == np.uint8
@@ -197,11 +200,13 @@ class DeviceImages:
         if aug_contrast:
             counts = np.stack([np.bincount(a[i].reshape(-1), minlength=256)
                                for i in range(n)])
-            cdf = jnp.asarray(np.cumsum(counts, axis=1), jnp.float32)
-        return cls(data=jnp.asarray(a),
-                   scale01=jnp.asarray(1.0 / span, jnp.float32),
-                   offset01=jnp.asarray(-mn / span, jnp.float32),
-                   lb=jnp.asarray(lb), ub=jnp.asarray(ub), cdf=cdf,
+            cdf = np.cumsum(counts, axis=1).astype(np.float32)
+        wrap = (lambda x: x) if host else jnp.asarray
+        return cls(data=wrap(a),
+                   scale01=wrap((1.0 / span).astype(np.float32)),
+                   offset01=wrap((-mn / span).astype(np.float32)),
+                   lb=wrap(lb), ub=wrap(ub),
+                   cdf=None if cdf is None else wrap(cdf),
                    out_range=tuple(normalization_range),
                    threshold=threshold, invert=bool(invert), quantized=True,
                    aug_contrast=bool(aug_contrast))
@@ -277,11 +282,52 @@ class DeviceImages:
         return y
 
 
+def slice_device_images(di: "DeviceImages", sel: np.ndarray) -> "DeviceImages":
+    """A DeviceImages view of a host-selected subset (streaming path):
+    slices every per-image leaf by `sel`; works on host-resident numpy
+    leaves (no device upload happens until the result's leaves are used)."""
+    take = lambda a: None if a is None else np.asarray(a)[sel]
+    return DeviceImages(data=jnp.asarray(take(di.data)),
+                        scale01=None if di.scale01 is None else jnp.asarray(take(di.scale01)),
+                        offset01=None if di.offset01 is None else jnp.asarray(take(di.offset01)),
+                        lb=None if di.lb is None else jnp.asarray(take(di.lb)),
+                        ub=None if di.ub is None else jnp.asarray(take(di.ub)),
+                        cdf=None if di.cdf is None else jnp.asarray(take(di.cdf)),
+                        out_range=di.out_range, threshold=di.threshold,
+                        invert=di.invert, quantized=di.quantized,
+                        aug_contrast=di.aug_contrast)
+
+
+# device-resident datasets beyond this size are almost certainly a mistake
+# on single-chip HBM (the decode keeps a float32 copy of each gathered
+# batch, and model state needs headroom); see `use_dataloader`/streaming
+HBM_WARN_BYTES = 4 << 30
+
+
+def estimate_device_bytes(arr, preproc: dict | None = None) -> int:
+    a = np.asarray(arr) if not isinstance(arr, DeviceImages) else arr.data
+    per_image = 256 * 4 if preproc else 0   # CDF for the aug path (worst case)
+    n = a.shape[0] if hasattr(a, "shape") and a.ndim else 0
+    return int(np.asarray(a).nbytes if not hasattr(a, "nbytes") else a.nbytes) \
+        + n * per_image
+
+
 def as_device_images(arr, mesh, preproc: dict | None = None,
                      aug_contrast: bool = False) -> "DeviceImages":
     """Upload an array to the mesh (replicated); uint8 arrays with a
-    `preproc` loader-spec dict become quantized DeviceImages."""
+    `preproc` loader-spec dict become quantized DeviceImages. Warns when
+    the replicated dataset would occupy more than HBM_WARN_BYTES — switch
+    to the streaming path (`use_dataloader` / `UNetConfig.stream_from_host`)
+    for datasets that size."""
+    import warnings
     from semtpu.parallel import replicate
+    nbytes = estimate_device_bytes(arr, preproc if aug_contrast else None)
+    if nbytes > HBM_WARN_BYTES:
+        warnings.warn(
+            f"as_device_images: dataset is ~{nbytes / (1 << 30):.1f} GiB "
+            "replicated into HBM; prefer the host-streaming path "
+            "(use_dataloader=True / UNetConfig.stream_from_host) or shard "
+            "the dataset", ResourceWarning, stacklevel=2)
     if isinstance(arr, DeviceImages):
         di = arr
     elif np.asarray(arr).dtype == np.uint8:

@@ -88,7 +88,9 @@ class PipelineConfig:
     classifier_score_threshold: float = 0.5
 
     # use_dataloader (StartProcess.py:43) controlled RAM usage in the
-    # reference; the data layer here is HBM/host-array resident by design
+    # reference's UNet stage; here it selects the host-streaming data path
+    # (dataset stays in host RAM, each scan chunk's uint8 slice is uploaded)
+    # instead of replicating the whole dataset into HBM
     use_dataloader: bool = False
 
     seed: int = 0

@@ -281,6 +281,7 @@ class Pipeline:
                           bn_momentum=cfg.unet_bn_momentum,
                           use_brightness_contrast_augmentation=(
                               cfg.unet_use_brightness_contrast_augmentation),
+                          stream_from_host=cfg.use_dataloader,
                           seed=cfg.seed)
         return UNetTrainer(ucfg, mesh=self.mesh)
 

@@ -56,6 +56,11 @@ class UNetConfig:
     # randomized percentile-window contrast augmentation on training images
     # (`UNet_Segmentation.py:83-87`); applied on device inside the gather
     use_brightness_contrast_augmentation: bool = False
+    # host-streaming data path (the reference's use_dataloader): the raw
+    # uint8 dataset stays in host RAM and only each scan-chunk's slice is
+    # uploaded, so HBM holds one chunk instead of the whole dataset. Use
+    # for datasets beyond the HBM budget; device-resident is faster.
+    stream_from_host: bool = False
     bn_momentum: float = 0.99
     compute_dtype: Any = jnp.bfloat16
     seed: int = 0
@@ -211,13 +216,31 @@ class UNetTrainer:
             with open(csv_path, "a") as fh:
                 fh.write("epoch;loss;mae;acc;val_loss;val_mae;val_acc;seconds\n")
 
-        # training data lives on device for the whole run; per step only the
-        # index vectors cross the host link
-        from semtpu.data.dataset import as_device_images
-        dev_imgs = as_device_images(
-            train_ds.images, self.mesh, train_ds.image_preproc,
-            aug_contrast=cfg.use_brightness_contrast_augmentation)
-        dev_masks = as_device_images(train_ds.masks, self.mesh, train_ds.mask_preproc)
+        # training data lives on device for the whole run (per step only the
+        # index vectors cross the host link) — or stays in host RAM with
+        # per-chunk uploads when streaming
+        from semtpu.data.dataset import (as_device_images, DeviceImages,
+                                         slice_device_images)
+        streaming = cfg.stream_from_host
+        if streaming:
+            if train_ds.images.dtype != np.uint8 or train_ds.masks.dtype != np.uint8:
+                raise ValueError(
+                    "stream_from_host requires raw uint8 datasets with "
+                    "loader-preproc dicts (float32 streams would ship 4x "
+                    "the bytes); load with preproc specs instead")
+            host_imgs = DeviceImages.from_uint8(
+                train_ds.images, host=True,
+                aug_contrast=cfg.use_brightness_contrast_augmentation,
+                **(train_ds.image_preproc or {}))
+            host_masks = DeviceImages.from_uint8(
+                train_ds.masks, host=True, **(train_ds.mask_preproc or {}))
+            dev_imgs = dev_masks = None
+        else:
+            dev_imgs = as_device_images(
+                train_ds.images, self.mesh, train_ds.image_preproc,
+                aug_contrast=cfg.use_brightness_contrast_augmentation)
+            dev_masks = as_device_images(train_ds.masks, self.mesh,
+                                         train_ds.mask_preproc)
         dev_val = None
         if val_ds is not None and len(val_ds) > 0:
             dev_val = (as_device_images(val_ds.images, self.mesh, val_ds.image_preproc),
@@ -241,10 +264,20 @@ class UNetTrainer:
                 chunk = idx[c0:c0 + SCAN_CHUNK]
                 sub = jnp.asarray(aug_rng.integers(0, 2**32, size=2,
                                                    dtype=np.uint32))
-                self.state, sums = self.train_steps_scan(
-                    self.state, dev_imgs, dev_masks,
-                    jnp.asarray(chunk[:, :, 0]), jnp.asarray(chunk[:, :, 1]),
-                    sub)
+                if streaming:
+                    sel = chunk[:, :, 0].reshape(-1)
+                    ch_imgs = slice_device_images(host_imgs, sel)
+                    ch_masks = slice_device_images(host_masks, sel)
+                    local = np.arange(sel.size, dtype=np.int32).reshape(
+                        chunk.shape[0], bs)
+                    self.state, sums = self.train_steps_scan(
+                        self.state, ch_imgs, ch_masks, jnp.asarray(local),
+                        jnp.asarray(chunk[:, :, 1]), sub)
+                else:
+                    self.state, sums = self.train_steps_scan(
+                        self.state, dev_imgs, dev_masks,
+                        jnp.asarray(chunk[:, :, 0]),
+                        jnp.asarray(chunk[:, :, 1]), sub)
                 msum = msum + sums
             train_m = dict(zip(keys, np.asarray(jax.device_get(msum)) / n_steps))
 

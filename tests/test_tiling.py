@@ -79,3 +79,15 @@ def test_bump_rule_exact_multiple():
     assert _axis_tiles(768, 384, -1) == 2  # no bump when min_overlap < 0
     offs = _axis_offsets(768, 384, 3)
     assert offs[0] == 0 and offs[-1] == 768 - 384
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_stitch_tile_roundtrip_large_grid(mode, rng):
+    """5x7 grid (35 tiles): the scan-based stitcher must stay exact at
+    grids where per-tile unrolling would blow up compile time."""
+    img = rng.random((150, 220, 1)).astype(np.float32)
+    tiles = tile_image(img, 32, 32, min_overlap=2)
+    assert tiles.shape[0] >= 35
+    out = np.asarray(stitch_image(tiles, 220, 150, min_overlap=2,
+                                  manage_overlap_mode=mode))
+    np.testing.assert_allclose(out, img, atol=1e-5)

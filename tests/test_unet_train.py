@@ -120,6 +120,56 @@ def test_fit_with_brightness_contrast_augmentation():
     assert np.isfinite(history["loss"][-1])
 
 
+def test_streaming_matches_device_resident():
+    """stream_from_host uploads per-chunk slices instead of the whole
+    dataset; with identical seeds the training trajectory is identical."""
+    rng = np.random.default_rng(5)
+    imgs, masks = synth_data(rng, n=10)
+    imgs_u8 = (imgs[:, :, :, 0] * 255).astype(np.uint8)
+    masks_u8 = (masks[:, :, :, 0] * 255).astype(np.uint8)
+    i_pre = dict(normalization_range=(0, 1))
+    m_pre = dict(normalization_range=(0, 1), threshold=0.5)
+
+    def run(stream):
+        ds = SegmentationDataset(imgs_u8, masks_u8, "train",
+                                 image_preproc=i_pre, mask_preproc=m_pre)
+        cfg = UNetConfig(filters=4, batch_size=8, epochs=2, tile_h=48,
+                         tile_w=48, bn_momentum=0.6,
+                         compute_dtype=jnp.float32, stream_from_host=stream)
+        tr = UNetTrainer(cfg, mesh=get_mesh())
+        tr.fit(ds)
+        return tr.state
+
+    s_res = run(False)
+    s_str = run(True)
+    for a, b in zip(jax.tree.leaves(s_res.params), jax.tree.leaves(s_str.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_streaming_rejects_float_datasets():
+    rng = np.random.default_rng(6)
+    imgs, masks = synth_data(rng, n=10)
+    ds = SegmentationDataset(imgs, masks, "train")
+    cfg = UNetConfig(filters=4, batch_size=8, epochs=1, tile_h=48, tile_w=48,
+                     compute_dtype=jnp.float32, stream_from_host=True)
+    tr = UNetTrainer(cfg, mesh=get_mesh())
+    with pytest.raises(ValueError, match="stream_from_host"):
+        tr.fit(ds)
+
+
+def test_as_device_images_warns_on_huge_dataset(monkeypatch):
+    import warnings
+    import semtpu.data.dataset as dsmod
+    monkeypatch.setattr(dsmod, "HBM_WARN_BYTES", 1024)
+    arr = np.zeros((4, 32, 32), np.uint8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dsmod.as_device_images(arr, get_mesh(), dict(normalization_range=(0, 1)))
+    assert any("HBM" in str(x.message) or "streaming" in str(x.message)
+               for x in w)
+
+
 def test_run_inference_outputs(tmp_path, trained):
     trainer, _, (imgs, _) = trained
     outdir = str(tmp_path / "out")
