@@ -1,10 +1,10 @@
-"""Benchmark: UNet tiled-inference throughput on real TPU hardware.
+"""Benchmark: semtpu hot paths on real TPU hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Metric: tiles/sec/chip through the flagship MultiRes-UNet (16 filters,
-384x384 tiles, bfloat16 compute) — the pipeline's serving hot path
-(BASELINE.json tracks "inference tiles/sec/chip").
+STDOUT carries exactly ONE JSON line (the driver contract):
+{"metric", "value", "unit", "vs_baseline"} — the headline UNet
+tiled-inference throughput. Secondary metrics (train-step throughput for
+all three trainers + an XLA-cost-analysis MFU estimate for the UNet
+forward) go to STDERR and BENCH_DETAILS.json next to this file.
 
 vs_baseline: speedup over the *reference's execution pattern* measured on
 the SAME chip — a per-tile batch-size-1 loop with a host round-trip per
@@ -16,12 +16,13 @@ Same model, same hardware; the ratio isolates the framework's contribution
 Timing notes for this environment: the TPU is reached through a tunnel
 where `block_until_ready` does not actually fence execution — only host
 readbacks do — so every timed region ends in a scalar fetch. A persistent
-compilation cache avoids re-paying the ~3 min remote compile each round.
+compilation cache avoids re-paying the remote compiles each round.
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from functools import partial
 
@@ -30,6 +31,154 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
+
+# bf16 peak of one TPU v5e (v5 lite) chip; used only for the MFU estimate
+PEAK_BF16_FLOPS = 197e12
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _timed(fn, warm=1, iters=3):
+    for _ in range(warm):
+        fn()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_unet_inference(jax, jnp, details):
+    from semtpu.models.multires_unet import MultiResUNet
+
+    model = MultiResUNet(filters=16, dtype=jnp.bfloat16)
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 384, 384, 1), jnp.float32))
+
+    # scalar-output forwards so one host fetch fences the whole computation
+    fwd = jax.jit(lambda v, x: jnp.sum(model.apply(v, x, train=False)))
+
+    BATCH = 72   # 9 tiles/image x 8 images
+    xb = jnp.asarray(np.random.default_rng(0).random((BATCH, 384, 384, 1)),
+                     jnp.float32)
+
+    dt = _timed(lambda: float(fwd(variables, xb)), warm=2, iters=5)
+    tiles_per_sec = BATCH / dt
+
+    # XLA cost analysis -> model FLOPs -> MFU against the chip's bf16 peak
+    try:
+        cost = fwd.lower(variables, xb).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        mfu = flops / dt / PEAK_BF16_FLOPS
+        details["unet_forward_flops_per_batch"] = flops
+        details["unet_inference_mfu"] = round(mfu, 4)
+        log(f"# unet fwd: {flops / 1e12:.2f} TFLOP/batch, "
+            f"MFU {mfu * 100:.1f}% of {PEAK_BF16_FLOPS / 1e12:.0f} TF bf16 peak")
+    except Exception as e:  # cost analysis is best-effort across backends
+        log(f"# cost analysis unavailable: {e}")
+
+    # reference pattern: per-tile bs=1 dispatch, host sync per tile
+    float(fwd(variables, xb[:1]))
+    t0 = time.perf_counter()
+    N1 = 10
+    for i in range(N1):
+        float(fwd(variables, xb[i:i + 1]))
+    ref_tiles_per_sec = N1 / (time.perf_counter() - t0)
+
+    details["unet_inference_tiles_per_sec"] = round(tiles_per_sec, 2)
+    details["reference_pattern_tiles_per_sec"] = round(ref_tiles_per_sec, 2)
+    log(f"# unet inference: {tiles_per_sec:.1f} tiles/s "
+        f"(bs=1 dispatch pattern: {ref_tiles_per_sec:.1f})")
+    return tiles_per_sec, ref_tiles_per_sec
+
+
+def bench_unet_train(jax, jnp, details):
+    from semtpu.train.unet import UNetTrainer, UNetConfig
+    from semtpu.data.dataset import as_device_images
+
+    K, bs = 16, 5
+    tr = UNetTrainer(UNetConfig(filters=16, batch_size=bs, epochs=50))
+    tr.create_state(weighting=4.0, steps_per_epoch=160)
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((40, 384, 384)) * 255).astype(np.uint8)
+    masks = ((rng.random((40, 384, 384)) > 0.7) * 255).astype(np.uint8)
+    di = as_device_images(imgs, tr.mesh, dict(normalization_range=(0, 1)))
+    dm = as_device_images(masks, tr.mesh,
+                          dict(normalization_range=(0, 1), threshold=0.5))
+    idx = jnp.asarray(rng.integers(0, 40, (K, bs)))
+    aug = jnp.asarray(rng.integers(0, 4, (K, bs)))
+
+    def step():
+        s, m = tr.train_steps_scan(tr.state, di, dm, idx, aug)
+        tr.state = s
+        return float(m[0])
+
+    dt = _timed(step, warm=1, iters=3)
+    sps = K / dt
+    details["unet_train_steps_per_sec"] = round(sps, 2)
+    log(f"# unet train (16f, 384^2, bs{bs}): {sps:.2f} steps/s "
+        f"({dt / K * 1000:.0f} ms/step)")
+
+
+def bench_wgan_train(jax, jnp, details):
+    from semtpu.train.wgan import WGANTrainer, WGANConfig
+    from semtpu.data.dataset import as_device_images
+
+    bs = 64
+    tr = WGANTrainer(WGANConfig(img_h=64, img_w=64, batch_size=bs))
+    tr.create_state()
+    rng = np.random.default_rng(0)
+    data = ((rng.random((128, 64, 64)) > 0.5) * 255).astype(np.uint8)
+    di = as_device_images(data, tr.mesh,
+                          dict(normalization_range=(-1, 1), threshold=0.5))
+    idx = jnp.asarray(rng.integers(0, 128, (bs,)))
+    keys = [jnp.asarray(rng.integers(0, 2**32, 2, dtype=np.uint32))
+            for _ in range(8)]
+
+    def step(i=[0]):
+        s, m = tr.train_step(tr.state, di, idx, keys[i[0] % len(keys)])
+        tr.state = s
+        i[0] += 1
+        return float(m["d_loss"]) if "d_loss" in m else float(list(m.values())[0])
+
+    dt = _timed(step, warm=1, iters=3)
+    details["wgan_train_steps_per_sec"] = round(1.0 / dt, 2)
+    log(f"# wgan train (64^2, bs{bs}, fused 3-critic+gen): "
+        f"{1.0 / dt:.2f} steps/s ({dt * 1000:.0f} ms/step)")
+
+
+def bench_cyclegan_train(jax, jnp, details):
+    from semtpu.train.cyclegan import CycleGANTrainer, CycleGANConfig
+    from semtpu.data.dataset import as_device_images
+
+    K, bs = 8, 5
+    tr = CycleGANTrainer(CycleGANConfig(scan_steps=K))
+    tr.create_state(steps_per_epoch=32)
+    rng = np.random.default_rng(0)
+    a = (rng.random((40, 384, 384)) * 255).astype(np.uint8)
+    b = ((rng.random((40, 384, 384)) > 0.7) * 255).astype(np.uint8)
+    dev_a = as_device_images(a, tr.mesh, dict(normalization_range=(-1, 1)))
+    dev_b = as_device_images(b, tr.mesh,
+                             dict(normalization_range=(-1, 1), threshold=0.5))
+    ia = jnp.asarray(rng.integers(0, 40, (K, bs)))
+    ib = jnp.asarray(rng.integers(0, 40, (K, bs)))
+    ks = jnp.asarray(rng.integers(0, 2**32, (K, 2), dtype=np.uint32))
+
+    def chunk():
+        s, m = tr.train_steps_scan(tr.state, dev_a, dev_b, ia, ib, ks)
+        tr.state = s
+        return float(m[0])
+
+    dt = _timed(chunk, warm=1, iters=2)
+    sps = K / dt
+    details["cyclegan_train_steps_per_sec"] = round(sps, 2)
+    log(f"# cyclegan train (384^2, bs{bs}, {K}-step scan): {sps:.2f} steps/s "
+        f"({dt / K * 1000:.0f} ms/step)")
 
 
 def main():
@@ -41,41 +190,27 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    from semtpu.models.multires_unet import MultiResUNet
 
-    model = MultiResUNet(filters=16, dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = jax.jit(partial(model.init, train=False))(
-        rng, jnp.zeros((1, 384, 384, 1), jnp.float32))
+    details = {}
+    tiles_per_sec, ref_tiles_per_sec = bench_unet_inference(jax, jnp, details)
+    for fn in (bench_unet_train, bench_wgan_train, bench_cyclegan_train):
+        try:
+            fn(jax, jnp, details)
+        except Exception as e:   # secondary metrics must never sink the bench
+            log(f"# {fn.__name__} failed: {e}")
 
-    # scalar-output forwards so one host fetch fences the whole computation
-    fwd = jax.jit(lambda v, x: jnp.sum(model.apply(v, x, train=False)))
-
-    BATCH = 72   # 9 tiles/image x 8 images
-    xb = jnp.asarray(np.random.default_rng(0).random((BATCH, 384, 384, 1)),
-                     jnp.float32)
-
-    float(fwd(variables, xb))          # compile + warm
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(fwd(variables, xb))
-        times.append(time.perf_counter() - t0)
-    batched_tiles_per_sec = BATCH / min(times)
-
-    # reference pattern: per-tile bs=1 dispatch, host sync per tile
-    float(fwd(variables, xb[:1]))      # compile bs=1
-    t0 = time.perf_counter()
-    N1 = 10
-    for i in range(N1):
-        float(fwd(variables, xb[i:i + 1]))
-    ref_tiles_per_sec = N1 / (time.perf_counter() - t0)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAILS.json"), "w") as fh:
+            json.dump(details, fh, indent=1)
+    except OSError as e:
+        log(f"# could not write BENCH_DETAILS.json: {e}")
 
     print(json.dumps({
         "metric": "unet_tiled_inference_tiles_per_sec_per_chip",
-        "value": round(batched_tiles_per_sec, 2),
+        "value": round(tiles_per_sec, 2),
         "unit": "tiles/s",
-        "vs_baseline": round(batched_tiles_per_sec / ref_tiles_per_sec, 2),
+        "vs_baseline": round(tiles_per_sec / ref_tiles_per_sec, 2),
     }))
 
 
