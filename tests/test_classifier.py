@@ -3,6 +3,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy trainer/e2e suite
+
 from semtpu.train.classifier import (ClassifierTrainer, ClassifierConfig,
                                      classify_and_measure, weighted_cce)
 

@@ -8,6 +8,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy trainer/e2e suite
 from PIL import Image
 
 from semtpu.classify import build_training_data, main, _segment_binary

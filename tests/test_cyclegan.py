@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy trainer/e2e suite
+
 from semtpu.train.cyclegan import (CycleGANTrainer, CycleGANConfig, PoolState)
 from semtpu.data.dataset import PairedDomainDataset
 

@@ -4,6 +4,8 @@ import os
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy trainer/e2e suite
 from PIL import Image
 
 from semtpu.train.unet import UNetTrainer, UNetConfig

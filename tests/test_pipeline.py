@@ -9,6 +9,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy trainer/e2e suite
 from PIL import Image
 
 from semtpu.pipeline import Pipeline, PipelineConfig

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy trainer/e2e suite
+
 from semtpu.parallel import get_mesh
 from semtpu.data.dataset import as_device_images
 

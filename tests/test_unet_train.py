@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy trainer/e2e suite
+
 from semtpu.train.unet import UNetTrainer, UNetConfig
 from semtpu.data.dataset import SegmentationDataset, apply_flip
 from semtpu.parallel import get_mesh

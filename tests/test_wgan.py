@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy trainer/e2e suite
+
 from semtpu.train.wgan import WGANTrainer, WGANConfig, prepare_mask_dataset
 from semtpu.data.dataset import ArrayDataset
 
