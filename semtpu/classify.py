@@ -144,6 +144,34 @@ def cmd_classification_only(args):
             print(f"[{tag}] {os.path.basename(f)}: {n} particles kept")
 
 
+def filter_mask_by_class(classifier, image01: np.ndarray, binary: np.ndarray,
+                         good_class: int = 1,
+                         score_threshold: float = 0.5) -> np.ndarray:
+    """Remove particles whose mean class score falls below the threshold.
+
+    The mask-level counterpart of the driver's measurement filter
+    (`Predict_Classes_And_Measure.py:286-288`): connected components of the
+    binary segmentation are scored by the mean of the classifier's
+    good-class map under each component; failing components are erased.
+    Returns a uint8 {0,255} mask (for filtered-IoU evaluation).
+    """
+    from semtpu import native
+    class_map = classifier.predict_classes(image01, (binary > 0).astype(
+        np.float32))[:, :, good_class]
+    labels, n = native.cc_label(binary > 0, connectivity=1)
+    labels = np.asarray(labels)
+    if n == 0:
+        return np.zeros_like(binary, np.uint8)
+    flat = labels.ravel()
+    sums = np.bincount(flat, weights=np.clip(class_map, 0, 1).ravel(),
+                       minlength=n + 1)
+    counts = np.bincount(flat, minlength=n + 1)
+    mean_score = sums / np.maximum(counts, 1)
+    keep = mean_score >= score_threshold
+    keep[0] = False
+    return (keep[labels] * 255).astype(np.uint8)
+
+
 def build_training_data(image_dir: str, mask_dir: str, class_dir: str,
                         tile_h: int = 384, tile_w: int = 384):
     """Tile (image, segmentation) inputs + one-hot (bad, good) labels from

@@ -125,6 +125,19 @@ def test_segment_and_predict_flow(data_dirs, trained_classifier, tmp_path):
     assert set(np.unique(binary)) <= {0, 255}
 
 
+def test_filter_mask_by_class(data_dirs, trained_classifier):
+    from semtpu.classify import filter_mask_by_class, _load_classifier
+    classifier = _load_classifier(trained_classifier, 4, SIZE, SIZE)
+    rng = np.random.default_rng(2)
+    img, seg, _ = _make_scene(rng)
+    img01 = img.astype(np.float32) / 255.0
+    # threshold 0 keeps every particle; threshold > 1 erases all
+    kept = filter_mask_by_class(classifier, img01, seg, score_threshold=0.0)
+    np.testing.assert_array_equal(kept > 0, seg > 0)
+    none = filter_mask_by_class(classifier, img01, seg, score_threshold=1.01)
+    assert none.sum() == 0
+
+
 def test_segment_binary_handles_flat_maps():
     flat = np.zeros((SIZE, SIZE), np.float32)
     out = _segment_binary(flat, 0.5)
