@@ -353,6 +353,143 @@ class MaskSimulator:
 
         return jax.vmap(one)(idx, pos_x, pos_y, valid)
 
+    @partial(jax.jit, static_argnums=0)
+    def _composite_bank_classes(self, bank_p, bank_per, idx, pos_x, pos_y, valid,
+                                keep_frac):
+        """Class-labeled compositing: like `_composite_bank`, but alongside
+        the bool canvas a per-pixel particle-index canvas is maintained, so
+        each placed particle's SURVIVING pixel count is known after all
+        later placements clipped it and the padded margin was cropped.
+
+        A particle is GOOD when it survives intact (surviving pixels >=
+        keep_frac * its placed area) — i.e. neither overlapped by a later
+        placement nor cut by the canvas crop. Everything else placed is BAD
+        (partially occluded / incomplete), the distinction the reference's
+        classification network is trained to make
+        (`Other Scripts/Predict_Classes_And_Measure.py:277-296`; the
+        dataset's 2-class GT marks exactly the intact particles). Returns
+        (union uint8, good uint8, bad uint8) per canvas — annotation-free
+        classifier training labels.
+        """
+        d = self.d
+
+        def one(idx_r, px_r, py_r, valid_r):
+            k = idx_r.shape[0]
+            canvas0 = jnp.zeros((self.canvas_h, self.canvas_w), jnp.bool_)
+            labels0 = jnp.zeros((self.canvas_h, self.canvas_w), jnp.int32)
+
+            def step(carry, xs):
+                canvas, labels = carry
+                bi, x, y, ok, pid = xs
+                pi = bank_p[bi]
+                ei = bank_per[bi]
+                window = jax.lax.dynamic_slice(canvas, (y, x), (d, d))
+                wlab = jax.lax.dynamic_slice(labels, (y, x), (d, d))
+                area = jnp.sum(ei)
+                overlap = jnp.sum(window & ei)
+                ok = ok & (area > 0)
+                if self.config.max_overlap is not None:
+                    ok = ok & (overlap <= self.config.max_overlap * area)
+                new_window = jnp.where(ok, (window & ~pi) | ei, window)
+                # pixel attribution mirrors the bool update: the eroded body
+                # takes this particle's id, the dilation ring clears earlier
+                # owners (they just got clipped)
+                new_wlab = jnp.where(ok & ei, pid + 1,
+                                     jnp.where(ok & pi, 0, wlab))
+                canvas = jax.lax.dynamic_update_slice(canvas, new_window, (y, x))
+                labels = jax.lax.dynamic_update_slice(labels, new_wlab, (y, x))
+                return (canvas, labels), (ok, area)
+
+            (canvas, labels), (placed, areas) = jax.lax.scan(
+                step, (canvas0, labels0),
+                (idx_r, px_r, py_r, valid_r, jnp.arange(k, dtype=jnp.int32)))
+            a = (self.canvas_h - self.config.img_height) // 2
+            b = (self.canvas_w - self.config.img_width) // 2
+            out = jax.lax.dynamic_slice(canvas, (a, b),
+                                        (self.config.img_height,
+                                         self.config.img_width))
+            lab = jax.lax.dynamic_slice(labels, (a, b),
+                                        (self.config.img_height,
+                                         self.config.img_width))
+            survive = jnp.bincount(lab.ravel(), length=k + 1)[1:]
+            good = placed & (survive >= keep_frac * areas.astype(jnp.float32))
+            good_px = jnp.where(lab > 0, jnp.take(good, lab - 1, fill_value=False),
+                                False)
+            return ((out * 255).astype(jnp.uint8),
+                    (good_px * 255).astype(jnp.uint8),
+                    ((out & ~good_px) * 255).astype(jnp.uint8),
+                    jnp.sum(placed))
+
+        return jax.vmap(one)(idx, pos_x, pos_y, valid)
+
+    def simulate_with_classes(self, sample_fn, no_of_images: int,
+                              output_dir: str | None = None,
+                              class_dir: str | None = None,
+                              start_index: int = 0,
+                              canvases_per_dispatch: int = 8,
+                              budget_factor: int = 8,
+                              keep_frac: float = 0.97):
+        """Like `simulate` (bank fast path), but also emits per-canvas
+        class masks: an RGB tif with R = bad (occluded/cut) particle pixels
+        and G = good (intact) particle pixels — the dataset's 4-class RGB
+        channel convention (`TiO2_Masks_Manual_4connected_4Classes`, G =
+        intact). Training data for the second-stage classifier without any
+        manual annotation. Not valid for PERLIN rotation (bank path only).
+        """
+        from PIL import Image
+        cfg = self.config
+        if cfg.use_random_rotation == "PERLIN":
+            raise ValueError("class emission requires the bank fast path "
+                             "(PERLIN rotation is position-correlated)")
+        rng = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed)
+        bank_p, bank_per = self.build_bank(sample_fn, rng)
+        bank_n = bank_p.shape[0]
+        budget = None
+        max_placed = 0
+        outs = []
+        i = 0
+        while i < no_of_images:
+            c = min(canvases_per_dispatch, no_of_images - i)
+            plans = []
+            for _ in range(c):
+                key, knoise = jax.random.split(key)
+                plans.append(self.plan(rng, knoise, budget=budget))
+            cap = max(len(p["valid"]) for p in plans)
+
+            def padded(name, fill=0):
+                return np.stack([
+                    np.pad(p[name], (0, cap - len(p[name])),
+                           constant_values=fill) for p in plans])
+
+            idx = rng.integers(0, bank_n, (c, cap))
+            imgs, good, bad, placed = self._composite_bank_classes(
+                bank_p, bank_per, jnp.asarray(idx),
+                jnp.asarray(padded("pos_x").astype(np.int32)),
+                jnp.asarray(padded("pos_y").astype(np.int32)),
+                jnp.asarray(padded("valid", fill=False)),
+                jnp.float32(keep_frac))
+            imgs, good, bad = np.asarray(imgs), np.asarray(good), np.asarray(bad)
+            # budget warm-up mirrors `simulate`: first group at capacity
+            max_placed = max(max_placed, int(np.asarray(placed).max()))
+            if budget is None and max_placed > 0:
+                b = 64
+                while b < budget_factor * max_placed:
+                    b *= 2
+                budget = min(b, self.MAX_CAPACITY)
+            for j in range(c):
+                outs.append((imgs[j], good[j], bad[j]))
+                if output_dir is not None:
+                    Image.fromarray(imgs[j]).save(os.path.join(
+                        output_dir, f"{start_index + i + j:05d}.tif"))
+                if class_dir is not None:
+                    rgb = np.stack([bad[j], good[j],
+                                    np.zeros_like(good[j])], axis=-1)
+                    Image.fromarray(rgb).save(os.path.join(
+                        class_dir, f"{start_index + i + j:05d}_cm.tif"))
+            i += c
+        return outs
+
     # ------------------------------------------------------------------ runs
     def simulate(self, sample_fn, no_of_images: int, output_dir: str | None = None,
                  start_index: int = 0, canvases_per_dispatch: int = 8,

@@ -135,3 +135,55 @@ def test_simulate_writes_files(tmp_path):
     assert len(out) == 2
     import os
     assert sorted(os.listdir(tmp_path)) == ["00000.tif", "00001.tif"]
+
+
+def test_simulate_with_classes_properties(tmp_path):
+    # grid_spacing_factor 0.35: moderate crowding -> both classes present
+    cfg = SimulatorConfig(img_width=96, img_height=96, max_overlap=0.5,
+                          use_perlin_noise=False, seed=3,
+                          grid_spacing_factor=0.35)
+    sim = MaskSimulator(cfg, (24, 24))
+    outs = sim.simulate_with_classes(disc_sampler, 2,
+                                     output_dir=str(tmp_path),
+                                     class_dir=str(tmp_path),
+                                     canvases_per_dispatch=2,
+                                     keep_frac=0.8)
+    assert len(outs) == 2
+    for union, good, bad in outs:
+        assert union.dtype == np.uint8 and union.shape == (96, 96)
+        # good/bad partition the union exactly
+        assert not np.any((good > 0) & (bad > 0))
+        assert np.array_equal((good > 0) | (bad > 0), union > 0)
+    # a crowded overlap-constrained canvas has both intact and clipped particles
+    assert any(g.any() for _, g, _ in outs)
+    assert any(b.any() for _, _, b in outs)
+    # union masks are identical to the plain simulate() stream (same rng path)
+    plain = MaskSimulator(cfg, (24, 24)).simulate(disc_sampler, 2,
+                                                  canvases_per_dispatch=2)
+    assert len(plain) == 2
+    for (union, _, _), ref in zip(outs, plain):
+        assert np.array_equal(union, ref)
+    # files: union tif + RGB class tif with R=bad, G=good
+    from PIL import Image
+    rgb = np.array(Image.open(tmp_path / "00000_cm.tif"))
+    assert rgb.shape == (96, 96, 3)
+    assert np.array_equal(rgb[:, :, 1] > 0, outs[0][1] > 0)
+    assert np.array_equal(rgb[:, :, 0] > 0, outs[0][2] > 0)
+
+
+def test_classes_good_particles_are_intact_discs():
+    # sparse placement with no overlap pressure: every placed disc is intact
+    cfg = SimulatorConfig(img_width=96, img_height=96, max_overlap=None,
+                          use_perlin_noise=False, grid_type="DISABLE",
+                          min_no_of_particles=3, max_no_of_particles=3, seed=5)
+    sim = MaskSimulator(cfg, (24, 24))
+    outs = sim.simulate_with_classes(disc_sampler, 1, canvases_per_dispatch=1)
+    union, good, bad = outs[0]
+    # with only 3 particles on 96x96(+margin), most/all survive intact;
+    # any bad pixels must come from genuine clipping, never from good ones
+    lab, n = ndi.label(good > 0)
+    for k in range(1, n + 1):
+        m = lab == k
+        # each good component is a filled disc-like blob (no bites taken out)
+        filled = ndi.binary_fill_holes(m)
+        assert (filled == m).all()
