@@ -1,0 +1,105 @@
+"""Score a finished pipeline run against the 40-image manual ground truth.
+
+Reference protocol (`Archive/Other Scripts/Calculate_Scores.py:176-272`):
+threshold sweep 0.0..1.0 with EDT-watershed + 4-connectivity per threshold;
+best-threshold whole-image IoU, instance IoU (all / >9 px^2), pixel ROC ->
+Youden. Prints a JSON summary and appends the reference-format CSVs.
+
+Optionally (--classifier CKPT_DIR) also reports the classifier
+auto-filtered instance IoU at the sweep's best instance threshold
+(`Predict_Classes_And_Measure.py:286-288` mask-level analog).
+
+Usage: python scripts/eval_run.py RUN_DIR [--classifier DIR] [--gt GT_DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+GT_DEFAULT = ("/root/reference/Datasets/Electron Microscopy Image Masks/"
+              "TiO2_Masks_Manual_4connected")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("run_dir")
+    p.add_argument("--gt", default=GT_DEFAULT)
+    p.add_argument("--classifier", default=None)
+    p.add_argument("--classifier-threshold", type=float, default=0.5)
+    p.add_argument("--predictions", default=None,
+                   help="default: RUN_DIR/Output_Masks_UNet")
+    args = p.parse_args(argv)
+
+    from semtpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    from PIL import Image
+    from semtpu.eval.sweep import threshold_sweep
+    from semtpu.eval.metrics import instance_iou
+    from semtpu.ops import segment, eight_to_four_connected
+
+    pred_dir = args.predictions or os.path.join(args.run_dir,
+                                                "Output_Masks_UNet")
+    gt_files = sorted(f for f in os.listdir(args.gt) if f.endswith("_m.tif"))
+    preds, gts, imgs01 = [], [], []
+    for g in gt_files:
+        stem = g[:-len("_m.tif")]
+        raw_f = os.path.join(pred_dir, stem + "_raw.tif")
+        if not os.path.isfile(raw_f):
+            raise FileNotFoundError(raw_f)
+        preds.append(np.array(Image.open(raw_f), np.float32))
+        gts.append(np.array(Image.open(os.path.join(args.gt, g))))
+    print(f"scoring {len(preds)} predictions from {pred_dir}")
+
+    sweep = threshold_sweep(preds, gts, do_watershed=True)
+    iou_w, t_w = sweep.best_iou_whole
+    iou_i, t_i = sweep.best_iou_instance
+    iou_f, t_f = sweep.best_iou_instance_filtered
+    youd, t_y = sweep.best_youden
+    summary = {
+        "iou_whole": round(iou_w, 4), "iou_whole_t": t_w,
+        "iou_instance_all": round(iou_i, 4), "iou_instance_all_t": t_i,
+        "iou_instance_gt9px": round(iou_f, 4), "iou_instance_gt9px_t": t_f,
+        "youden": round(youd, 4), "youden_t": t_y,
+        "baseline_v120": {"iou_whole": 0.8762, "iou_instance": 0.5750,
+                          "youden": 0.9120},
+    }
+
+    if args.classifier:
+        from semtpu.classify import _load_classifier, filter_mask_by_class
+        clf = _load_classifier(args.classifier, 16, 384, 384)
+        sem_dir = os.path.join(args.run_dir, "Input_Images")
+        tot_all = tot_f = 0.0
+        for g, raw in zip(gt_files, preds):
+            stem = g[:-len("_m.tif")]
+            img = np.array(Image.open(os.path.join(sem_dir, stem + ".tif")),
+                           np.float32)
+            img01 = (img - img.min()) / max(float(img.max() - img.min()), 1e-9)
+            u8 = np.round(np.clip(raw / max(raw.max(), 1e-9), 0, 1)
+                          * 255).astype(np.uint8)
+            seg = segment(u8, threshold=float(t_i) * 255.0,
+                          apply_watershed=True, min_distance=9,
+                          dark_background=True)
+            binary = np.asarray(eight_to_four_connected(seg))
+            gt_bin = (np.array(Image.open(os.path.join(args.gt, g))) > 0
+                      ).astype(np.uint8)
+            filt = filter_mask_by_class(
+                clf, img01, binary, score_threshold=args.classifier_threshold)
+            tot_all += instance_iou((filt > 0).astype(np.uint8), gt_bin, 0.0)
+            tot_f += instance_iou((filt > 0).astype(np.uint8), gt_bin, 9.0)
+        summary["iou_instance_classifier_filtered"] = round(
+            tot_all / len(preds), 4)
+        summary["iou_instance_gt9px_classifier_filtered"] = round(
+            tot_f / len(preds), 4)
+
+    print(json.dumps(summary))
+    out = os.path.join(args.run_dir, "eval_summary.json")
+    with open(out, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -277,6 +277,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from semtpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

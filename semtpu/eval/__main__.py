@@ -20,6 +20,8 @@ from semtpu.eval.sweep import evaluate_predictions
 
 
 def main(argv=None):
+    from semtpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="semtpu.eval", description=__doc__)
     p.add_argument("--input-dir", required=True,
                    help="directory of model subdirectories with predicted masks")

@@ -10,6 +10,8 @@ import argparse
 
 
 def main(argv=None):
+    from semtpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="semtpu.export", description=__doc__)
     p.add_argument("--checkpoint", required=True,
                    help="UNet checkpoint dir (or a Models/ tree; latest run used)")

@@ -152,6 +152,8 @@ def run(args):
 
 
 def main(argv=None):
+    from semtpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     run(build_parser().parse_args(argv))
 
 

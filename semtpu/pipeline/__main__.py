@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from semtpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     overrides = {}
     if args.config:

@@ -132,3 +132,40 @@ def test_step6_unet_outputs(pipeline_run):
                                             [f for f in outs if not f.endswith("_raw.tif")][0])))
     assert set(np.unique(inst)) <= {0, 255}
     assert inst.shape == (160, 160)
+
+
+def test_classifier_self_supervised_flow(pipeline_run, tmp_path):
+    """scripts/train_classifier.py: simulator class labels -> CycleGAN
+    render -> classifier fit -> mask-level auto-filter, zero annotation."""
+    import json
+    import sys
+    pipe, cfg = pipeline_run
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import train_classifier as tc
+
+    cfg_json = tmp_path / "run_cfg.json"
+    cfg_json.write_text(json.dumps({
+        "tile_size_w": 64, "tile_size_h": 64,
+        "wgan_batch_size": 8, "wgan_epochs": 2,
+        "max_particle_overlap": None,
+        "sim_min_no_of_particles": 6, "sim_max_no_of_particles": 10,
+        "cyclegan_batch_size": 8, "cyclegan_epochs": 1,
+        "cyclegan_filters": 4, "cyclegan_num_residual_blocks": 2,
+    }))
+    out = str(tmp_path / "clf")
+    tc.main([cfg.root_dir, "--scenes", "6", "--epochs", "1",
+             "--batch-size", "2", "--out", out, "--config", str(cfg_json)])
+    assert os.path.isdir(os.path.join(out, "model"))
+    # staged data respects the classify-train layout
+    assert len(os.listdir(os.path.join(out, "data", "images"))) == 6
+    assert len(os.listdir(os.path.join(out, "data", "class"))) == 6
+
+    # the checkpoint drives the mask-level auto-filter
+    from semtpu.classify import _load_classifier, filter_mask_by_class
+    clf = _load_classifier(out, 16, 64, 64)
+    rng = np.random.default_rng(1)
+    img01 = rng.random((64, 64), np.float32)
+    binary = np.zeros((64, 64), np.uint8)
+    binary[10:20, 10:20] = 255
+    filt = filter_mask_by_class(clf, img01, binary)
+    assert filt.shape == (64, 64) and filt.dtype == np.uint8
