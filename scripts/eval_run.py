@@ -16,6 +16,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -31,6 +34,8 @@ def main(argv=None):
     p.add_argument("--classifier-threshold", type=float, default=0.5)
     p.add_argument("--predictions", default=None,
                    help="default: RUN_DIR/Output_Masks_UNet")
+    p.add_argument("--gt-suffix", default="_m",
+                   help="between GT stem and .tif ('' for the TSEM set)")
     args = p.parse_args(argv)
 
     from semtpu.utils.cache import enable_compile_cache
@@ -42,15 +47,19 @@ def main(argv=None):
 
     pred_dir = args.predictions or os.path.join(args.run_dir,
                                                 "Output_Masks_UNet")
-    gt_files = sorted(f for f in os.listdir(args.gt) if f.endswith("_m.tif"))
-    preds, gts, imgs01 = [], [], []
+    end = args.gt_suffix + ".tif"
+    gt_files = sorted(f for f in os.listdir(args.gt) if f.endswith(end))
+    preds, gts = [], []
     for g in gt_files:
-        stem = g[:-len("_m.tif")]
+        stem = g[:-len(end)]
         raw_f = os.path.join(pred_dir, stem + "_raw.tif")
         if not os.path.isfile(raw_f):
             raise FileNotFoundError(raw_f)
-        preds.append(np.array(Image.open(raw_f), np.float32))
-        gts.append(np.array(Image.open(os.path.join(args.gt, g))))
+        gt = np.array(Image.open(os.path.join(args.gt, g)))
+        raw = np.array(Image.open(raw_f), np.float32)
+        # the TSEM GT set is pre-cropped to 712 rows (metadata bar removed)
+        preds.append(raw[:gt.shape[0], :gt.shape[1]])
+        gts.append(gt)
     print(f"scoring {len(preds)} predictions from {pred_dir}")
 
     sweep = threshold_sweep(preds, gts, do_watershed=True)
@@ -72,10 +81,10 @@ def main(argv=None):
         clf = _load_classifier(args.classifier, 16, 384, 384)
         sem_dir = os.path.join(args.run_dir, "Input_Images")
         tot_all = tot_f = 0.0
-        for g, raw in zip(gt_files, preds):
-            stem = g[:-len("_m.tif")]
+        for g, raw, gt in zip(gt_files, preds, gts):
+            stem = g[:-len(end)]
             img = np.array(Image.open(os.path.join(sem_dir, stem + ".tif")),
-                           np.float32)
+                           np.float32)[:gt.shape[0], :gt.shape[1]]
             img01 = (img - img.min()) / max(float(img.max() - img.min()), 1e-9)
             u8 = np.round(np.clip(raw / max(raw.max(), 1e-9), 0, 1)
                           * 255).astype(np.uint8)
@@ -83,8 +92,7 @@ def main(argv=None):
                           apply_watershed=True, min_distance=9,
                           dark_background=True)
             binary = np.asarray(eight_to_four_connected(seg))
-            gt_bin = (np.array(Image.open(os.path.join(args.gt, g))) > 0
-                      ).astype(np.uint8)
+            gt_bin = (gt > 0).astype(np.uint8)
             filt = filter_mask_by_class(
                 clf, img01, binary, score_threshold=args.classifier_threshold)
             tot_all += instance_iou((filt > 0).astype(np.uint8), gt_bin, 0.0)

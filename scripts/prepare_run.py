@@ -11,6 +11,15 @@ Recreates the reference's user-supplied inputs (`StartProcess.py:14-18`):
 
 Usage:  python scripts/prepare_run.py WORKDIR [--n-source-masks 3]
                                       [--per-mask 12] [--margin 4]
+                                      [--images-dir D] [--gt-dir D]
+                                      [--gt-suffix _m]
+
+TSEM variant (dark particles, bright background; GT masks are 712x1024,
+named like the image with no suffix):
+  python scripts/prepare_run.py run_tsem \
+    --images-dir ".../Electron Microscopy Images/TSEM" \
+    --gt-dir ".../Electron Microscopy Image Masks/TiO2_Masks_TSEM" \
+    --gt-suffix ""
 """
 from __future__ import annotations
 
@@ -73,6 +82,10 @@ def main(argv=None):
     p.add_argument("--n-source-masks", type=int, default=3)
     p.add_argument("--per-mask", type=int, default=12)
     p.add_argument("--margin", type=int, default=4)
+    p.add_argument("--images-dir", default=SEM_DIR)
+    p.add_argument("--gt-dir", default=GT_DIR)
+    p.add_argument("--gt-suffix", default="_m",
+                   help="between GT stem and .tif ('' for the TSEM set)")
     args = p.parse_args(argv)
 
     img_dir = os.path.join(args.workdir, "Input_Images")
@@ -80,20 +93,21 @@ def main(argv=None):
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(msk_dir, exist_ok=True)
 
-    sem = sorted(f for f in os.listdir(SEM_DIR) if f.endswith(".tif"))
+    sem = sorted(f for f in os.listdir(args.images_dir) if f.endswith(".tif"))
     for f in sem:
-        shutil.copy(os.path.join(SEM_DIR, f), img_dir)
-    print(f"copied {len(sem)} SEM images -> {img_dir}")
+        shutil.copy(os.path.join(args.images_dir, f), img_dir)
+    print(f"copied {len(sem)} images -> {img_dir}")
 
     # spread source masks across the (sorted) GT set for content diversity
-    gts = sorted(f for f in os.listdir(GT_DIR) if f.endswith("_m.tif"))
+    end = args.gt_suffix + ".tif"
+    gts = sorted(f for f in os.listdir(args.gt_dir) if f.endswith(end))
     picks = [gts[int(i)] for i in
              np.linspace(0, len(gts) - 1, args.n_source_masks).round()]
     total = 0
     for g in picks:
-        outs = extract_outlines(os.path.join(GT_DIR, g),
+        outs = extract_outlines(os.path.join(args.gt_dir, g),
                                 args.per_mask, args.margin)
-        stem = g.replace("_m.tif", "")
+        stem = g[:-len(end)]
         for j, crop in enumerate(outs):
             Image.fromarray(crop).save(
                 os.path.join(msk_dir, f"{stem}_p{j:02d}.tif"))

@@ -153,12 +153,12 @@ def test_classifier_self_supervised_flow(pipeline_run, tmp_path):
         "cyclegan_filters": 4, "cyclegan_num_residual_blocks": 2,
     }))
     out = str(tmp_path / "clf")
-    tc.main([cfg.root_dir, "--scenes", "6", "--epochs", "1",
+    tc.main([cfg.root_dir, "--scenes", "8", "--epochs", "1",
              "--batch-size", "2", "--out", out, "--config", str(cfg_json)])
     assert os.path.isdir(os.path.join(out, "model"))
     # staged data respects the classify-train layout
-    assert len(os.listdir(os.path.join(out, "data", "images"))) == 6
-    assert len(os.listdir(os.path.join(out, "data", "class"))) == 6
+    assert len(os.listdir(os.path.join(out, "data", "images"))) == 8
+    assert len(os.listdir(os.path.join(out, "data", "class"))) == 8
 
     # the checkpoint drives the mask-level auto-filter
     from semtpu.classify import _load_classifier, filter_mask_by_class
