@@ -34,6 +34,33 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 # bf16 peak of one TPU v5e (v5 lite) chip; used only for the MFU estimate
 PEAK_BF16_FLOPS = 197e12
+# HBM bandwidth of one v5e chip; used only for the roofline estimate
+PEAK_HBM_BYTES = 819e9
+
+
+def _roofline(lowerable, args, dt, details, prefix):
+    """Best-effort XLA cost analysis -> MFU + HBM-bandwidth utilization.
+
+    `bytes accessed` sums per-HLO traffic and overcounts fused reuse, so
+    the BW number is an upper bound on true utilization — still the right
+    diagnostic for conv stacks at small batch, which sit against the HBM
+    roof, not the MXU roof.
+    """
+    try:
+        cost = lowerable.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+        details[f"{prefix}_tflops"] = round(flops / 1e12, 2)
+        details[f"{prefix}_mfu"] = round(flops / dt / PEAK_BF16_FLOPS, 4)
+        details[f"{prefix}_hbm_util_est"] = round(byts / dt / PEAK_HBM_BYTES, 3)
+        log(f"# {prefix}: {flops / 1e12:.2f} TFLOP, "
+            f"MFU {flops / dt / PEAK_BF16_FLOPS * 100:.1f}%, "
+            f"HBM ~{byts / dt / PEAK_HBM_BYTES * 100:.0f}% of "
+            f"{PEAK_HBM_BYTES / 1e9:.0f} GB/s (upper bound)")
+    except Exception as e:
+        log(f"# {prefix} cost analysis unavailable: {e}")
 
 
 def log(msg):
@@ -123,6 +150,8 @@ def bench_unet_train(jax, jnp, details):
     details["unet_train_steps_per_sec"] = round(sps, 2)
     log(f"# unet train (16f, 384^2, bs{bs}): {sps:.2f} steps/s "
         f"({dt / K * 1000:.0f} ms/step)")
+    _roofline(jax.jit(lambda s, i, a: tr.train_steps_scan(s, di, dm, i, a)),
+              (tr.state, idx, aug), dt, details, "unet_train_chunk")
 
 
 def bench_wgan_train(jax, jnp, details):
@@ -179,6 +208,9 @@ def bench_cyclegan_train(jax, jnp, details):
     details["cyclegan_train_steps_per_sec"] = round(sps, 2)
     log(f"# cyclegan train (384^2, bs{bs}, {K}-step scan): {sps:.2f} steps/s "
         f"({dt / K * 1000:.0f} ms/step)")
+    _roofline(jax.jit(lambda s, a_, b_, k: tr.train_steps_scan(
+                  s, dev_a, dev_b, a_, b_, k)),
+              (tr.state, ia, ib, ks), dt, details, "cyclegan_train_chunk")
 
 
 def main():

@@ -285,7 +285,8 @@ class MaskSimulator:
     BANK_SIZE = 1024
 
     def build_bank(self, sample_fn, rng: np.random.Generator,
-                   bank_size: int | None = None, seed: int = 17):
+                   bank_size: int | None = None, seed: int = 17,
+                   perlin_rotations: bool = False):
         """Prepared-particle bank: (bank, D, D) warped+binarized+opened+
         eroded pairs, built ONCE and sampled with replacement per canvas.
 
@@ -294,8 +295,14 @@ class MaskSimulator:
         unchanged while the generator forward + warp + morphology cost is
         amortized across ALL canvases instead of paid per canvas (the
         reference regenerates every candidate per image,
-        `WassersteinGAN.py:494-509`). Not valid for PERLIN rotation, where
-        rotation is position-correlated.
+        `WassersteinGAN.py:494-509`).
+
+        With `perlin_rotations` the bank is built for the PERLIN mode's
+        position-correlated rotations: entries carry uniform rotations over
+        [-180, 180] and the third return value is the SORTED rotation array
+        (+ the bank is sorted to match), so a candidate's noise-derived
+        rotation maps to near-exact bank entries by binary search
+        (`map_rotations_to_bank`).
         """
         cfg = self.config
         b = bank_size or self.BANK_SIZE
@@ -304,21 +311,42 @@ class MaskSimulator:
                            self.min_scaling, self.max_scaling)
         else:
             scal = rng.uniform(self.min_scaling, self.max_scaling, b)
-        if cfg.use_random_rotation == "RANDOM":
+        if perlin_rotations:
+            rot = np.sort(rng.uniform(-180.0, 180.0, b)).astype(np.float32)
+        elif cfg.use_random_rotation == "RANDOM":
             rot = rng.integers(0, 360, b).astype(np.float32)
         else:
             rot = np.zeros(b, np.float32)
-        scal = jnp.asarray(scal, jnp.float32)
-        rot = jnp.asarray(rot)
+        scal_d = jnp.asarray(scal, jnp.float32)
+        rot_d = jnp.asarray(rot)
         ps, pes = [], []
         for s0 in range(0, b, self.PREP_CHUNK):
             s1 = min(s0 + self.PREP_CHUNK, b)
             samples = sample_fn(s1 - s0, seed + s0)
             a_, b_ = self._prepare_particles(jnp.asarray(samples),
-                                             scal[s0:s1], rot[s0:s1])
+                                             scal_d[s0:s1], rot_d[s0:s1])
             ps.append(a_)
             pes.append(b_)
+        if perlin_rotations:
+            return jnp.concatenate(ps), jnp.concatenate(pes), rot
         return jnp.concatenate(ps), jnp.concatenate(pes)
+
+    @staticmethod
+    def map_rotations_to_bank(bank_rot: np.ndarray, desired: np.ndarray,
+                              rng: np.random.Generator,
+                              window: int = 16) -> np.ndarray:
+        """Host-side nearest-rotation bank lookup with a diversity window.
+
+        For each desired rotation, picks a random entry among the `window`
+        bank entries closest in rotation (binary search on the sorted bank
+        rotations). Expected quantization error with a 1024-entry bank and
+        window 16 is ~1.4 deg — far below the +-90 deg spread the PERLIN
+        field itself produces — while keeping particle-shape diversity.
+        """
+        pos = np.searchsorted(bank_rot, desired)
+        lo = np.clip(pos - window // 2, 0, len(bank_rot) - window)
+        off = rng.integers(0, window, len(desired))
+        return (lo + off).astype(np.int64)
 
     @partial(jax.jit, static_argnums=0)
     def _composite_bank(self, bank_p, bank_per, idx, pos_x, pos_y, valid):
@@ -493,7 +521,8 @@ class MaskSimulator:
     # ------------------------------------------------------------------ runs
     def simulate(self, sample_fn, no_of_images: int, output_dir: str | None = None,
                  start_index: int = 0, canvases_per_dispatch: int = 8,
-                 budget_factor: int = 8) -> list[np.ndarray]:
+                 budget_factor: int = 8,
+                 perlin_rotation_bank: bool = False) -> list[np.ndarray]:
         """Generate `no_of_images` masks.
 
         sample_fn(n, seed) -> (n, h, w, 1) float32 in [-1, 1] — typically
@@ -506,6 +535,13 @@ class MaskSimulator:
         groups cap candidates at `budget_factor` x the observed maximum
         placement count (pow2-bucketed), since the overlap rule saturates
         the canvas long before the candidate grid is exhausted.
+
+        PERLIN rotation is position-correlated, so by default it takes the
+        exact per-canvas path (one render per canvas). With
+        `perlin_rotation_bank` it instead uses a rotation-sorted bank and
+        nearest-rotation lookup (~1.4 deg quantization at the default bank
+        size) — the bank fast path's amortization at a documented, tested
+        approximation.
         """
         from PIL import Image
         cfg = self.config
@@ -513,8 +549,9 @@ class MaskSimulator:
         key = jax.random.PRNGKey(cfg.seed)
         out = []
 
-        if cfg.use_random_rotation == "PERLIN":
-            # legacy per-canvas path: rotation is position-correlated
+        perlin_mode = cfg.use_random_rotation == "PERLIN"
+        if perlin_mode and not perlin_rotation_bank:
+            # exact per-canvas path: rotation is position-correlated
             for i in range(no_of_images):
                 key, knoise, ksmp = jax.random.split(key, 3)
                 plan = self.plan(rng, knoise)
@@ -527,7 +564,11 @@ class MaskSimulator:
                         os.path.join(output_dir, f"{start_index + i:05d}.tif"))
             return out
 
-        bank_p, bank_per = self.build_bank(sample_fn, rng)
+        if perlin_mode:
+            bank_p, bank_per, bank_rot = self.build_bank(
+                sample_fn, rng, perlin_rotations=True)
+        else:
+            bank_p, bank_per = self.build_bank(sample_fn, rng)
         bank_n = bank_p.shape[0]
         budget = None
         max_placed = 0
@@ -545,7 +586,12 @@ class MaskSimulator:
                     np.pad(p[name], (0, cap - len(p[name])),
                            constant_values=fill) for p in plans])
 
-            idx = rng.integers(0, bank_n, (c, cap))
+            if perlin_mode:
+                idx = np.stack([self.map_rotations_to_bank(
+                    bank_rot, np.pad(p["rot"], (0, cap - len(p["rot"]))), rng)
+                    for p in plans])
+            else:
+                idx = rng.integers(0, bank_n, (c, cap))
             imgs, placed = self._composite_bank(
                 bank_p, bank_per, jnp.asarray(idx),
                 jnp.asarray(padded("pos_x").astype(np.int32)),

@@ -187,3 +187,29 @@ def test_classes_good_particles_are_intact_discs():
         # each good component is a filled disc-like blob (no bites taken out)
         filled = ndi.binary_fill_holes(m)
         assert (filled == m).all()
+
+
+def test_perlin_rotation_bank_mapping_accuracy():
+    rng = np.random.default_rng(0)
+    bank_rot = np.sort(rng.uniform(-180, 180, 1024)).astype(np.float32)
+    desired = rng.uniform(-175, 175, 500).astype(np.float32)
+    idx = MaskSimulator.map_rotations_to_bank(bank_rot, desired, rng)
+    err = np.abs(bank_rot[idx] - desired)
+    assert err.max() < 15.0           # window edge worst case
+    assert np.median(err) < 3.0       # typical quantization error
+    # diversity: repeated identical rotations hit multiple bank entries
+    same = MaskSimulator.map_rotations_to_bank(
+        bank_rot, np.zeros(64, np.float32), rng)
+    assert len(np.unique(same)) > 4
+
+
+def test_perlin_rotation_bank_path_renders():
+    cfg = SimulatorConfig(img_width=96, img_height=96, max_overlap=0.5,
+                          use_perlin_noise=True, use_random_rotation="PERLIN",
+                          seed=11, grid_spacing_factor=0.35)
+    sim = MaskSimulator(cfg, (24, 24))
+    out = sim.simulate(disc_sampler, 2, canvases_per_dispatch=2,
+                       perlin_rotation_bank=True)
+    assert len(out) == 2
+    assert all(o.shape == (96, 96) and o.dtype == np.uint8 for o in out)
+    assert any((o > 0).any() for o in out)
