@@ -44,7 +44,9 @@ def _roofline(lowerable, args, dt, details, prefix):
     `bytes accessed` sums per-HLO traffic and overcounts fused reuse, so
     the BW number is an upper bound on true utilization — still the right
     diagnostic for conv stacks at small batch, which sit against the HBM
-    roof, not the MXU roof.
+    roof, not the MXU roof. NOTE: XLA counts a lax.scan body ONCE
+    regardless of trip count, so for K-step scan chunks pass the PER-STEP
+    dt (chunk dt / K) — flops/bytes are then per-step too.
     """
     try:
         cost = lowerable.lower(*args).compile().cost_analysis()
@@ -151,7 +153,7 @@ def bench_unet_train(jax, jnp, details):
     log(f"# unet train (16f, 384^2, bs{bs}): {sps:.2f} steps/s "
         f"({dt / K * 1000:.0f} ms/step)")
     _roofline(jax.jit(lambda s, i, a: tr.train_steps_scan(s, di, dm, i, a)),
-              (tr.state, idx, aug), dt, details, "unet_train_chunk")
+              (tr.state, idx, aug), dt / K, details, "unet_train_step")
 
 
 def bench_wgan_train(jax, jnp, details):
@@ -210,7 +212,7 @@ def bench_cyclegan_train(jax, jnp, details):
         f"({dt / K * 1000:.0f} ms/step)")
     _roofline(jax.jit(lambda s, a_, b_, k: tr.train_steps_scan(
                   s, dev_a, dev_b, a_, b_, k)),
-              (tr.state, ia, ib, ks), dt, details, "cyclegan_train_chunk")
+              (tr.state, ia, ib, ks), dt / K, details, "cyclegan_train_step")
 
 
 def main():
