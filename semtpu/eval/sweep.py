@@ -7,21 +7,95 @@ against the manual ground truth; report per-threshold averages and the
 best-threshold operating points (incl. Youden's index).
 
 The reference runs this as mp.Pool'd Python loops re-running watershed per
-threshold; here the per-threshold segmentations are jitted device
-computations and the pixel metrics single reductions.
+threshold; here the WHOLE per-image sweep — 11x (segment + 4-connectivity
++ CC labeling + joint-histogram instance IoU + pixel metrics) — is ONE
+device program (`lax.map` over thresholds), so a 40-image evaluation costs
+40 dispatches + one (11, 7) scalar fetch each instead of hundreds of
+mask-sized round trips over the host link.
 """
 from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
 from semtpu.ops import segment, eight_to_four_connected
+from semtpu.ops.connected import label as cc_label
 from semtpu.eval.metrics import whole_image_iou, roc_rates, instance_iou
 
 THRESHOLDS = [t / 10.0 for t in range(11)]
+
+# static instance caps for the device joint histogram; predicted instances
+# are bounded by the min_distance=9 peak grid (~(H/9)*(W/9)), GT by the
+# manual annotations (~hundreds). Overflowing labels are clipped into the
+# last bin (pathological inputs only; the host path has no cap).
+NP_CAP = 12288
+NG_CAP = 2048
+
+
+@partial(jax.jit, static_argnames=("do_watershed", "min_distance",
+                                   "instance_min_area"))
+def _sweep_one_image_device(pred_u8, gt_bin, do_watershed: bool = True,
+                            min_distance: int = 9,
+                            instance_min_area: float = 9.0):
+    """All 11 thresholds of one image on device.
+
+    pred_u8: (H, W) uint8 raw map (threshold t scales to t*255 — 1/255
+    quantization is below the sweep's 0.1 step). gt_bin: (H, W) {0,1}.
+    Returns (11, 7) float32: [iou_whole, iou_inst_all, iou_inst_filtered,
+    tpr, tnr, fpr, fnr] per threshold.
+    """
+    gl, n_g = cc_label(gt_bin > 0, connectivity=1)
+    gl = jnp.minimum(gl, NG_CAP)
+    g_areas = jnp.bincount(gl.ravel(), length=NG_CAP + 1).astype(jnp.float32)
+    g = (gt_bin > 0)
+
+    def one_threshold(t):
+        seg = segment(pred_u8, threshold=t * 255.0,
+                      apply_watershed=do_watershed,
+                      min_distance=min_distance, dark_background=True)
+        seg = eight_to_four_connected(seg)
+        p = seg > 0
+
+        inter_px = jnp.sum(p & g)
+        iou_w = inter_px / jnp.maximum(jnp.sum(p | g), 1)
+        tp = jnp.sum(p & g).astype(jnp.float32)
+        tn = jnp.sum(~p & ~g).astype(jnp.float32)
+        fp = jnp.sum(p & ~g).astype(jnp.float32)
+        fn = jnp.sum(~p & g).astype(jnp.float32)
+        pos = jnp.maximum(tp + fn, 1.0)
+        neg = jnp.maximum(tn + fp, 1.0)
+
+        pl, n_p = cc_label(p, connectivity=1)
+        pl = jnp.minimum(pl, NP_CAP)
+        p_areas = jnp.bincount(pl.ravel(), length=NP_CAP + 1
+                               ).astype(jnp.float32)
+        joint = jnp.bincount((pl * (NG_CAP + 1) + gl).ravel(),
+                             length=(NP_CAP + 1) * (NG_CAP + 1)
+                             ).reshape(NP_CAP + 1, NG_CAP + 1)
+        inter = joint[1:, 1:].astype(jnp.float32)
+        union = p_areas[1:, None] + g_areas[None, 1:] - inter
+        iou = jnp.where(inter > 0, inter / jnp.maximum(union, 1.0), 0.0)
+        best = jnp.max(iou, axis=1)
+
+        def mean_best(min_area):
+            keep = p_areas[1:] > min_area
+            s = jnp.sum(jnp.where(keep, best, 0.0))
+            c = jnp.sum(keep)
+            return jnp.where(c > 0, s / jnp.maximum(c, 1), 0.0)
+
+        return jnp.stack([
+            iou_w.astype(jnp.float32), mean_best(0.0),
+            mean_best(instance_min_area),
+            tp / pos, tn / neg, fp / neg, fn / pos,
+        ])
+
+    return jax.lax.map(one_threshold, jnp.asarray(THRESHOLDS, jnp.float32))
 
 
 @dataclass
@@ -63,18 +137,20 @@ def threshold_sweep(
     do_watershed: bool = True,
     min_distance: int = 9,
     instance_min_area: float = 9.0,
+    device: bool = True,
 ) -> SweepResult:
     """Sweep thresholds over (prediction, ground truth) image pairs.
 
     predictions: raw float maps in [0, 1] (or uint8 /255'd automatically).
-    ground_truths: binary masks.
+    ground_truths: binary masks. `device=False` selects the per-threshold
+    host-metric path (uncapped instance counts; kept as the parity oracle
+    for the fused device sweep).
     """
     n_img = len(predictions)
     assert n_img == len(ground_truths) and n_img > 0
     acc = {k: np.zeros(len(THRESHOLDS)) for k in
            ("iou_whole", "iou_all", "iou_filt", "tpr", "tnr", "fpr", "fnr", "youden")}
 
-    import jax.numpy as jnp
     for pred, gt in zip(predictions, ground_truths):
         pred = np.asarray(pred, dtype=np.float32)
         if pred.max() > 1.0:
@@ -83,6 +159,22 @@ def threshold_sweep(
         # quantization is below the sweep's 0.1 threshold step)
         pred_dev = jnp.asarray(np.round(pred * 255).astype(np.uint8))
         gt_bin = (np.asarray(gt) > 0).astype(np.uint8)
+
+        if device:
+            m = np.asarray(_sweep_one_image_device(
+                pred_dev, jnp.asarray(gt_bin), do_watershed=do_watershed,
+                min_distance=min_distance,
+                instance_min_area=float(instance_min_area)))
+            acc["iou_whole"] += m[:, 0] / n_img
+            acc["iou_all"] += m[:, 1] / n_img
+            acc["iou_filt"] += m[:, 2] / n_img
+            acc["tpr"] += m[:, 3] / n_img
+            acc["tnr"] += m[:, 4] / n_img
+            acc["fpr"] += m[:, 5] / n_img
+            acc["fnr"] += m[:, 6] / n_img
+            acc["youden"] += (m[:, 3] + m[:, 4] - 1.0) / n_img
+            continue
+
         for ti, t in enumerate(THRESHOLDS):
             seg = segment(pred_dev, threshold=float(t) * 255.0,
                           apply_watershed=do_watershed,

@@ -87,3 +87,24 @@ def test_rand_error_detects_merge():
     voi = variation_of_information(merged, gt)
     assert re > 0.0
     assert voi > 0.0
+
+
+def test_device_sweep_matches_host_path():
+    """The fused one-dispatch-per-image device sweep must reproduce the
+    per-threshold host-metric path (same segment stack, uncapped host
+    instance IoU) on a nontrivial watershed case."""
+    rng = np.random.default_rng(7)
+    ys, xs = np.mgrid[:96, :128]
+    pred = np.zeros((96, 128), np.float32)
+    for cy, cx, r in [(30, 30, 14), (30, 52, 12), (70, 90, 15), (55, 30, 9)]:
+        d2 = (ys - cy) ** 2 + (xs - cx) ** 2
+        pred = np.maximum(pred, np.clip(1.2 - d2 / r**2, 0, 1))
+    pred = np.clip(pred + rng.normal(0, 0.02, pred.shape), 0, 1)
+    gt = (pred > 0.4).astype(np.uint8)
+
+    dev = threshold_sweep([pred], [gt], do_watershed=True, device=True)
+    host = threshold_sweep([pred], [gt], do_watershed=True, device=False)
+    for name in ("iou_whole", "iou_instance_all", "iou_instance_filtered",
+                 "tpr", "tnr", "fpr", "fnr", "youden"):
+        a, b = getattr(dev, name), getattr(host, name)
+        assert np.allclose(a, b, atol=1e-5), (name, a, b)
