@@ -226,3 +226,4 @@ def test_segment_degenerate_images():
     allbg = np.zeros((32, 32), dtype=np.uint8)
     out = np.asarray(segment(allbg, threshold=127, dark_background=True))
     assert (out == 0).all()
+
