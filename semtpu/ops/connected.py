@@ -4,7 +4,14 @@ Replaces `scipy.ndimage.label` (used for watershed markers,
 `Measurements.py:300`). Bounded-iteration, jittable: initialize every
 foreground pixel with a unique id, then repeatedly take the minimum over the
 connected neighborhood until fixpoint. Converges in O(component diameter)
-sweeps, which for particle markers is tiny.
+sweeps.
+
+Measured note (v5e, 768x1024 particle mask): the pure stencil runs ~800
+cheap VPU sweeps in ~31 ms, while a pointer-jumping variant (gather to the
+current label's label, halving path lengths) needs only ~15 sweeps but
+costs ~743 ms — random gathers serialize on the TPU scalar path, 24x
+slower end-to-end. Dense stencil iteration is the TPU-native choice even
+at O(diameter) iteration counts.
 """
 from __future__ import annotations
 
@@ -51,11 +58,7 @@ def label(mask: jax.Array, connectivity: int = 1, max_iter: int = 4096) -> tuple
 
     def body(state):
         lab, _, it = state
-        nm = _neighbor_min(lab, connectivity)
-        # pointer-jumping acceleration: hop to the label of the pixel our
-        # current label points at (path halving -> O(log diameter) sweeps)
-        jumped = lab.ravel()[jnp.clip(nm, 0, h * w - 1).ravel()].reshape(h, w)
-        new = jnp.where(m, jnp.minimum(nm, jumped), big)
+        new = jnp.where(m, _neighbor_min(lab, connectivity), big)
         return new, jnp.any(new != lab), it + 1
 
     lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.bool_(True), 0))
