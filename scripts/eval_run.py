@@ -86,8 +86,10 @@ def main(argv=None):
             img = np.array(Image.open(os.path.join(sem_dir, stem + ".tif")),
                            np.float32)[:gt.shape[0], :gt.shape[1]]
             img01 = (img - img.min()) / max(float(img.max() - img.min()), 1e-9)
-            u8 = np.round(np.clip(raw / max(raw.max(), 1e-9), 0, 1)
-                          * 255).astype(np.uint8)
+            # quantize EXACTLY like threshold_sweep does, so the re-segmented
+            # mask reproduces the sweep's operating point at t_i
+            pred = raw / 255.0 if raw.max() > 1 else raw
+            u8 = np.round(np.clip(pred, 0, 1) * 255).astype(np.uint8)
             seg = segment(u8, threshold=float(t_i) * 255.0,
                           apply_watershed=True, min_distance=9,
                           dark_background=True)

@@ -195,7 +195,11 @@ def build_training_data(image_dir: str, mask_dir: str, class_dir: str,
         msk = (np.array(Image.open(msk_f))[:h, :w] > 127).astype(np.float32)
         good = (cm > 127).astype(np.float32)
         if good.ndim == 3:
-            good = good[:, :, 0]
+            # RGB class masks follow the reference 4Classes convention
+            # (R = occluded/clipped i.e. bad, G = intact i.e. good — see
+            # `Datasets/.../TiO2_Masks_Manual_4Classes`, and the simulator's
+            # `simulate_with_classes` emission): the GOOD class is channel 1
+            good = good[:, :, 1]
         x = np.stack([img, msk], axis=-1)
         y = np.stack([1.0 - good, good], axis=-1)
         xs.append(np.asarray(tile_image(x, tile_h, tile_w, min_overlap=2)))

@@ -56,6 +56,15 @@ class PipelineConfig:
     cyclegan_num_residual_blocks: int = 9
     cyclegan_checkpoint_every: int = 1   # reference saves per epoch; raise on
                                          # slow links (a checkpoint ships ~180MB)
+    # which checkpoint step 4 renders from: None = latest run's final model
+    # (reference behavior: "most recent model", `CycleGAN.py:228`); a
+    # checkpoint name/path (e.g. "checkpoints_020"); or "auto" = render a
+    # small mask sample with EVERY saved checkpoint and pick the one whose
+    # fake SEM images keep the most mask pixels through the step-5 Li
+    # intensity filter (a render-quality proxy: late-epoch generators drift
+    # toward sparse/washed-out renders that the Li filter rejects —
+    # keep-rate 0.50 @ep20 vs 0.30 @ep50 measured in round 2, RESULTS.md)
+    cyclegan_checkpoint: str | None = None
     gaussian_blur_amount: float = 0.0
     invert_images: bool = False                # TEM/bright-background variant
 
@@ -68,6 +77,13 @@ class PipelineConfig:
     unet_use_brightness_contrast_augmentation: bool = False
     unet_filters: int = 16
     unet_bn_momentum: float = 0.99
+    # checkpoint-selection rule for checkpoint_lowest_loss: "loss" (train
+    # loss, the reference rule `UNet_Segmentation.py:262-264`) or
+    # "val_loss" (the UNet overfits the synthetic domain after ~10 epochs;
+    # val-loss selection generalizes better to real images — RESULTS.md)
+    unet_checkpoint_monitor: str = "loss"
+    # epochs without monitored improvement before stopping; 0 = run all
+    unet_early_stopping_patience: int = 0
     unet_threshold: float = -1.0
     unet_watershed_lines: bool = True
     unet_min_distance: int = 9

@@ -227,14 +227,93 @@ class Pipeline:
         return trainer
 
     # ------------------------------------------------------------- step 4
+    def _resolve_cyclegan_checkpoint(self) -> str:
+        """Map `cfg.cyclegan_checkpoint` to a loadable path.
+
+        None -> the model dir (trainer.load picks the latest run's final
+        model, matching the reference's "most recent model" rule,
+        `CycleGAN.py:228`); a name/path -> that checkpoint; "auto" -> the
+        Li-keep-rate selection heuristic (see PipelineConfig)."""
+        from semtpu.train.checkpoint import latest_checkpoint
+        cfg = self.cfg
+        sel = cfg.cyclegan_checkpoint
+        if not sel:
+            return cfg.cyclegan_model_dir
+        def is_ckpt(p):
+            return os.path.isfile(os.path.join(p, "_CHECKPOINT_METADATA"))
+
+        if sel != "auto":
+            if is_ckpt(sel):
+                return sel
+            run = latest_checkpoint(cfg.cyclegan_model_dir) or cfg.cyclegan_model_dir
+            path = os.path.join(run, sel)
+            if not is_ckpt(path):
+                raise FileNotFoundError(
+                    f"cyclegan_checkpoint {sel!r} not found under {run}")
+            return path
+        return self._select_cyclegan_checkpoint_auto()
+
+    def _select_cyclegan_checkpoint_auto(self, sample: int = 16) -> str:
+        """Pick the saved checkpoint whose B->A renders keep the most mask
+        pixels through the step-5 Li mean-intensity filter.
+
+        Renders `sample` simulated masks with every checkpoint of the
+        latest run and measures keep-rate = (mask pixels surviving
+        `apply_mean_intensity_filter`) / (mask pixels). Dense, consistent
+        renders keep ~0.5; washed-out late-epoch renders drop to ~0.3
+        (round-2 measurement). Persists the per-checkpoint scores next to
+        the checkpoints as `checkpoint_selection.csv`."""
+        from semtpu.train.checkpoint import latest_checkpoint
+        from semtpu.measure.filtering import apply_mean_intensity_filter
+        cfg = self.cfg
+        run = latest_checkpoint(cfg.cyclegan_model_dir)
+        if run is None:
+            return cfg.cyclegan_model_dir
+        cands = sorted(e for e in os.listdir(run)
+                       if (e == "model" or e.startswith("checkpoints_"))
+                       and os.path.isfile(os.path.join(
+                           run, e, "_CHECKPOINT_METADATA")))
+        if len(cands) <= 1:
+            return cfg.cyclegan_model_dir
+        files_b = get_image_file_paths_from_directory(cfg.train_b_dir)[:sample]
+        masks = load_uint8_stack(files_b)
+        trainer = self._cyclegan_trainer()
+        trainer.create_state()
+        best, best_rate, rows = None, -1.0, []
+        for cand in cands:
+            trainer.load(os.path.join(run, cand))
+            fakes = trainer.run_inference_batched(masks, source_domain="B")
+            kept = total = 0
+            for k in range(len(masks)):
+                mask = masks[k] if masks[k].ndim == 2 else masks[k][:, :, 0]
+                filt = apply_mean_intensity_filter(
+                    fakes[k], mask, dark_background=cfg.dark_background,
+                    do_watershed_and_four_connectivity=False)
+                kept += int((filt > 0).sum())
+                total += int((mask > 127).sum())
+            rate = kept / max(total, 1)
+            rows.append((cand, rate))
+            print(f"  checkpoint {cand}: Li keep-rate {rate:.3f}")
+            if rate > best_rate:
+                best, best_rate = cand, rate
+        with open(os.path.join(run, "checkpoint_selection.csv"), "w") as fh:
+            fh.write("checkpoint;li_keep_rate\n")
+            for cand, rate in rows:
+                fh.write(f"{cand};{rate:.5f}\n")
+        print(f"  selected {best} (keep-rate {best_rate:.3f})")
+        return os.path.join(run, best)
+
     def step_4_cyclegan_inference(self):
         cfg = self.cfg
         print("Step 4: Generating fake SEM images and pre-segmenting real images...")
         trainer = getattr(self, "_cyclegan", None)
-        if trainer is None:
-            trainer = self._cyclegan_trainer()
-            trainer.create_state()
-            trainer.load(cfg.cyclegan_model_dir)
+        if trainer is None or cfg.cyclegan_checkpoint:
+            # an explicit/auto checkpoint choice overrides the in-process
+            # final-epoch state left by step 3
+            if trainer is None:
+                trainer = self._cyclegan_trainer()
+                trainer.create_state()
+            trainer.load(self._resolve_cyclegan_checkpoint())
             self._cyclegan = trainer
 
         # B -> A: render all simulated masks as fake SEM images (tiles),
@@ -282,6 +361,8 @@ class Pipeline:
                           use_brightness_contrast_augmentation=(
                               cfg.unet_use_brightness_contrast_augmentation),
                           stream_from_host=cfg.use_dataloader,
+                          checkpoint_monitor=cfg.unet_checkpoint_monitor,
+                          early_stopping_patience=cfg.unet_early_stopping_patience,
                           seed=cfg.seed)
         return UNetTrainer(ucfg, mesh=self.mesh)
 

@@ -343,10 +343,17 @@ class MaskSimulator:
         window 16 is ~1.4 deg — far below the +-90 deg spread the PERLIN
         field itself produces — while keeping particle-shape diversity.
         """
-        pos = np.searchsorted(bank_rot, desired)
-        lo = np.clip(pos - window // 2, 0, len(bank_rot) - window)
+        n = len(bank_rot)
+        window = min(window, n)
+        # rotation is circular: a desired angle near -180 deg must also
+        # match bank entries near +180 deg. With the bank sorted over one
+        # full period, wrapping the window indices modulo n makes both ends
+        # of the sorted array adjacent, which is exactly the circular
+        # neighborhood (insertion point n == insertion point 0).
+        pos = np.searchsorted(bank_rot, desired) % n
+        lo = pos - window // 2
         off = rng.integers(0, window, len(desired))
-        return (lo + off).astype(np.int64)
+        return ((lo + off) % n).astype(np.int64)
 
     @partial(jax.jit, static_argnums=0)
     def _composite_bank(self, bank_p, bank_per, idx, pos_x, pos_y, valid):

@@ -61,6 +61,15 @@ class UNetConfig:
     # uploaded, so HBM holds one chunk instead of the whole dataset. Use
     # for datasets beyond the HBM budget; device-resident is faster.
     stream_from_host: bool = False
+    # which metric drives the checkpoint_lowest_loss snapshot: "loss"
+    # (train loss — the reference's rule, `UNet_Segmentation.py:262-264`)
+    # or "val_loss" (better generalization to the real domain: the UNet
+    # overfits the synthetic CycleGAN renders after ~10 epochs while the
+    # train loss keeps falling — measured in round 2, RESULTS.md)
+    checkpoint_monitor: str = "loss"
+    # stop training after this many epochs without monitored-metric
+    # improvement; 0 disables (reference behavior: always run all epochs)
+    early_stopping_patience: int = 0
     bn_momentum: float = 0.99
     compute_dtype: Any = jnp.bfloat16
     seed: int = 0
@@ -209,7 +218,15 @@ class UNetTrainer:
         aug_rng = np.random.default_rng(cfg.seed + 7)
         history = {"loss": [], "val_loss": [], "mae": [], "acc": [],
                    "val_mae": [], "val_acc": []}
+        monitor = cfg.checkpoint_monitor
+        if monitor not in ("loss", "val_loss"):
+            raise ValueError(f"checkpoint_monitor must be 'loss' or "
+                             f"'val_loss', got {monitor!r}")
+        if monitor == "val_loss" and (val_ds is None or len(val_ds) == 0):
+            monitor = "loss"   # no validation split to monitor
         best_loss = np.inf
+        epochs_since_best = 0
+        best_weights = None
         csv_path = os.path.join(model_dir, "training_log.csv") if model_dir else None
         if csv_path:
             os.makedirs(model_dir, exist_ok=True)
@@ -310,12 +327,37 @@ class UNetTrainer:
                 print(f"epoch {epoch}: loss={train_m['loss']:.4f} "
                       f"val_loss={val_m.get('val_loss', float('nan')):.4f} ({dt:.1f}s)")
 
-            if model_dir and train_m["loss"] < best_loss:
-                best_loss = train_m["loss"]
-                # weights-only: a best-model snapshot, not a resume point
-                self.save(os.path.join(model_dir, "checkpoint_lowest_loss"),
-                          include_opt=False)
+            monitored = (train_m["loss"] if monitor == "loss"
+                         else val_m.get("val_loss", train_m["loss"]))
+            if monitored < best_loss:
+                best_loss = monitored
+                epochs_since_best = 0
+                if monitor == "val_loss":
+                    # keep the best-val weights to restore at the end (the
+                    # final `model` save is what inference loads)
+                    best_weights = (jax.device_get(self.state.params),
+                                    jax.device_get(self.state.batch_stats))
+                if model_dir:
+                    # weights-only: a best-model snapshot, not a resume point
+                    self.save(os.path.join(model_dir, "checkpoint_lowest_loss"),
+                              include_opt=False)
+            else:
+                epochs_since_best += 1
+                if (cfg.early_stopping_patience
+                        and epochs_since_best >= cfg.early_stopping_patience):
+                    print(f"early stop at epoch {epoch}: no {monitor} "
+                          f"improvement in {epochs_since_best} epochs "
+                          f"(best {best_loss:.4f})")
+                    break
 
+        if best_weights is not None:
+            # val-loss monitoring restores the best-val weights so the final
+            # `model` (what step-6b inference loads) IS the selected model;
+            # its optimizer state remains the last epoch's (resume restarts
+            # from the restored weights, not the overfit tail)
+            self.state = self.state.replace(
+                params=replicate(best_weights[0], self.mesh),
+                batch_stats=replicate(best_weights[1], self.mesh))
         if model_dir:
             self.save(os.path.join(model_dir, "model"))
         return history

@@ -138,6 +138,52 @@ def test_filter_mask_by_class(data_dirs, trained_classifier):
     assert none.sum() == 0
 
 
+def test_rgb_class_mask_channel_semantics(tmp_path):
+    """RGB *_cm.tif follow the reference 4Classes convention: R = bad,
+    G = good — exactly what `simulate_with_classes` emits. A classifier
+    trained on such masks must score an intact (bright) particle HIGHER on
+    the good class than an occluded (dim) one; this is the semantic check
+    that labels are not inverted (round-2 advisor finding)."""
+    from semtpu.classify import main as cls_main, _load_classifier
+    from semtpu.classify import filter_mask_by_class
+
+    img_d = tmp_path / "Images"; img_d.mkdir()
+    msk_d = tmp_path / "Masks"; msk_d.mkdir()
+    cm_d = tmp_path / "ClassMasks"; cm_d.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(8):
+        img, seg, good = _make_scene(rng, n_good=2, n_bad=2)
+        bad = ((seg > 0) & ~(good > 0)).astype(np.uint8) * 255
+        # make bad discs visually distinct (dim) so the toy net can learn
+        img = np.where(bad > 0, (img * 0.35).astype(np.uint8), img)
+        rgb = np.stack([bad, good, np.zeros_like(good)], axis=-1)
+        Image.fromarray(img).save(img_d / f"im{i}.tif")
+        Image.fromarray(seg).save(msk_d / f"im{i}_m.tif")
+        Image.fromarray(rgb).save(cm_d / f"im{i}_cm.tif")
+
+    x, y = build_training_data(str(img_d), str(msk_d), str(cm_d),
+                               tile_h=SIZE, tile_w=SIZE)
+    # label channel 1 (good) must coincide with the G channel of the cm
+    img0, seg0, good0 = None, None, None
+    rng = np.random.default_rng(4)
+    img0, seg0, good0 = _make_scene(rng, n_good=2, n_bad=2)
+    np.testing.assert_array_equal(y[0, :, :, 1] > 0.5, good0 > 127)
+
+    model_dir = str(tmp_path / "model")
+    cls_main(["train", "--images", str(img_d), "--masks", str(msk_d),
+              "--class-masks", str(cm_d), "--model-dir", model_dir,
+              "--classifier-filters", "4", "--tile-h", str(SIZE),
+              "--tile-w", str(SIZE), "--batch-size", "4", "--epochs", "30"])
+    clf = _load_classifier(model_dir, 4, SIZE, SIZE)
+    probs = np.asarray(clf.predict_classes(
+        img0.astype(np.float32) / 255.0, (seg0 > 0).astype(np.float32),
+        tile_images=False))
+    bad0 = (seg0 > 0) & ~(good0 > 0)
+    good_score = probs[:, :, 1][good0 > 0].mean()
+    bad_score = probs[:, :, 1][bad0].mean()
+    assert good_score > bad_score + 0.1, (good_score, bad_score)
+
+
 def test_segment_binary_handles_flat_maps():
     flat = np.zeros((SIZE, SIZE), np.float32)
     out = _segment_binary(flat, 0.5)

@@ -175,6 +175,22 @@ def test_label_8conn_merges_diagonals():
     assert int(n4) == 3 and int(n8) == 1
 
 
+def test_label_converges_past_max_iter():
+    """A component with diameter > max_iter must still get ONE label (the
+    pointer-jumping fallback phase): truncated stencil sweeps alone would
+    silently split it (round-2 advisor finding)."""
+    # serpentine path: one 24x24 component with path diameter ~300
+    m = np.zeros((24, 24), dtype=bool)
+    for r in range(0, 24, 2):
+        m[r, :] = True
+        if r + 1 < 24:
+            m[r + 1, 23 if (r // 2) % 2 == 0 else 0] = True
+    want, n_want = ndi.label(m)
+    got, n_got = label(m, connectivity=1, max_iter=8)
+    assert int(n_got) == n_want == 1
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 # ---------- watershed stack ----------
 
 def test_peak_local_max_simple():

@@ -172,6 +172,40 @@ def test_as_device_images_warns_on_huge_dataset(monkeypatch):
                for x in w)
 
 
+def test_val_loss_monitor_and_early_stop(tmp_path):
+    """checkpoint_monitor='val_loss' restores the best-val weights at the
+    end of fit (so the saved `model` IS the selected model) and
+    early_stopping_patience halts training once val loss stops improving."""
+    rng = np.random.default_rng(7)
+    imgs, masks = synth_data(rng, n=12)
+    train_ds = SegmentationDataset(imgs, masks, "train")
+    val_ds = SegmentationDataset(imgs, masks, "val")
+    cfg = UNetConfig(filters=4, batch_size=8, epochs=30, learning_rate=3e-3,
+                     tile_h=48, tile_w=48, bn_momentum=0.6,
+                     compute_dtype=jnp.float32,
+                     checkpoint_monitor="val_loss",
+                     early_stopping_patience=3)
+    trainer = UNetTrainer(cfg, mesh=get_mesh())
+    mdir = str(tmp_path / "m")
+    history = trainer.fit(train_ds, val_ds, model_dir=mdir)
+    n_epochs = len(history["val_loss"])
+    best_ep = int(np.argmin(history["val_loss"]))
+    # early stopping fired no later than patience epochs past the minimum
+    assert n_epochs <= best_ep + 1 + 3
+    # final in-memory weights == the best-val checkpoint on disk
+    fresh = UNetTrainer(UNetConfig(filters=4, tile_h=48, tile_w=48,
+                                   bn_momentum=0.6,
+                                   compute_dtype=jnp.float32), mesh=get_mesh())
+    fresh.load(os.path.join(mdir, "checkpoint_lowest_loss"))
+    a = trainer.predict_image(imgs[0], tile_images=False)
+    b = fresh.predict_image(imgs[0], tile_images=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and the saved final `model` matches too (restore-best-weights)
+    fresh.load(os.path.join(mdir, "model"))
+    c = fresh.predict_image(imgs[0], tile_images=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
 def test_run_inference_outputs(tmp_path, trained):
     trainer, _, (imgs, _) = trained
     outdir = str(tmp_path / "out")
