@@ -49,6 +49,15 @@ def build_parser():
         p.add_argument(f"--max-{name}", type=float, default=None)
     p.add_argument("--measure-csv", default=None,
                    help="write per-particle measurements to this CSV")
+    # classifier-based auto-filter (plugin parity:
+    # `SEM_Particle_Segmentation.java:486-542` — drops particles whose mean
+    # good-class score under the mask is below the threshold, before the
+    # range filters are applied)
+    p.add_argument("--classifier", default=None,
+                   help="classification-network checkpoint dir (enables the "
+                        "auto-filter)")
+    p.add_argument("--classifier-filters", type=int, default=16)
+    p.add_argument("--classifier-threshold", type=float, default=0.5)
     return p
 
 
@@ -85,6 +94,12 @@ def run(args):
     contrast = tuple(float(x) for x in args.contrast_range.split(","))
     os.makedirs(args.output_dir, exist_ok=True)
 
+    classifier = None
+    if args.classifier:
+        from semtpu.classify import _load_classifier
+        classifier = _load_classifier(args.classifier, args.classifier_filters,
+                                      tile_h, tile_w)
+
     files = get_image_file_paths_from_directory(args.input_dir)
     images = load_and_preprocess_images(files, normalization_range=(0, 1),
                                         contrast_optimization_range=contrast)
@@ -110,6 +125,17 @@ def run(args):
                        apply_watershed=args.watershed,
                        min_distance=args.min_distance, dark_background=True)
         inst = np.asarray(eight_to_four_connected(inst))
+
+        n_auto_dropped = 0
+        if classifier is not None:
+            from semtpu.classify import filter_mask_by_class
+            from semtpu import native
+            _, n_before = native.cc_label(inst > 0, connectivity=1)
+            inst = filter_mask_by_class(
+                classifier, img[:, :, 0], inst,
+                score_threshold=args.classifier_threshold)
+            _, n_after = native.cc_label(inst > 0, connectivity=1)
+            n_auto_dropped = int(n_before) - int(n_after)
 
         # measurement + range filters (plugin parity)
         m = Measure(inst, pixel_distance=args.pixel_distance,
@@ -142,7 +168,14 @@ def run(args):
         for j in keep:
             csv_rows.append(f"{os.path.basename(f)};{areas[j]};{perims[j]};"
                             f"{circ[j]};{maxf[j]};{minf[j]};{sol[j]}")
-        print(f"{os.path.basename(f)}: {m.number} particles, {len(keep)} kept")
+        note = (f" ({n_auto_dropped} dropped by classifier)"
+                if classifier is not None else "")
+        print(f"{os.path.basename(f)}: {m.number} particles, "
+              f"{len(keep)} kept{note}")
+        if classifier is not None:
+            csv_rows.append(f"# {os.path.basename(f)}: classifier auto-filter "
+                            f"dropped {n_auto_dropped} particles at score "
+                            f"threshold {args.classifier_threshold}")
 
     if args.measure_csv:
         header = ("File;Area;Perimeter;Circularity;MaxFeret;MinFeret;Solidity"

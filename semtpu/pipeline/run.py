@@ -281,7 +281,7 @@ class Pipeline:
         trainer.create_state()
         best, best_rate, rows = None, -1.0, []
         for cand in cands:
-            trainer.load(os.path.join(run, cand))
+            trainer.load(os.path.join(run, cand), params_only=True)
             fakes = trainer.run_inference_batched(masks, source_domain="B")
             kept = total = 0
             for k in range(len(masks)):
@@ -313,7 +313,8 @@ class Pipeline:
             if trainer is None:
                 trainer = self._cyclegan_trainer()
                 trainer.create_state()
-            trainer.load(self._resolve_cyclegan_checkpoint())
+            # inference-only: skip pools/optimizer state (5x less upload)
+            trainer.load(self._resolve_cyclegan_checkpoint(), params_only=True)
             self._cyclegan = trainer
 
         # B -> A: render all simulated masks as fake SEM images (tiles),

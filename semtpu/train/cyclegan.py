@@ -148,10 +148,11 @@ class CycleGANTrainer:
         self._steps_per_epoch = 1
 
     # -- loss selections (reference create_model, CycleGAN.py:116-121) -------
-    def _cycle_loss_a(self, y_true, y_pred):
+    def _cycle_loss_a(self, y_true, y_pred, valid=None):
+        from semtpu.train.losses import masked_mean
         if self.config.use_binary_crossentropy:
-            return jnp.mean(binary_crossentropy(y_true, y_pred))
-        return mae_loss(y_true, y_pred)
+            return masked_mean(binary_crossentropy(y_true, y_pred), valid)
+        return mae_loss(y_true, y_pred, valid)
 
     def _make_tx(self, steps_per_epoch: int):
         cfg = self.config
@@ -186,14 +187,19 @@ class CycleGANTrainer:
         return self.state
 
     # -- pool (exact reference semantics, vectorized scan) --------------------
-    def _pool_query(self, pool: PoolState, images, rng) -> tuple[jax.Array, PoolState]:
+    def _pool_query(self, pool: PoolState, images, rng,
+                    valid=None) -> tuple[jax.Array, PoolState]:
+        """50%-swap history pool. `valid` (B,) skips padded batch samples
+        entirely (no pool mutation, no RNG-history change for real
+        samples), so a padded multi-device batch leaves the pool state
+        exactly as the unpadded batch would."""
         size = self.config.image_pool_size
         if size == 0:
             return images, pool
 
         def step(carry, xs):
             imgs, num = carry
-            img, key = xs
+            img, key, ok = xs
             k1, k2 = jax.random.split(key)
             p = jax.random.uniform(k1)
             slot = jax.random.randint(k2, (), 0, size)
@@ -212,12 +218,20 @@ class CycleGANTrainer:
                 final = jnp.where(take_stored, new_imgs, imgs)
                 return (final, num), out
 
-            (imgs, num), out = jax.lax.cond(num < size, insert, swap, None)
+            def active(_):
+                return jax.lax.cond(num < size, insert, swap, None)
+
+            def passthrough(_):
+                return (imgs, num), img
+
+            (imgs, num), out = jax.lax.cond(ok, active, passthrough, None)
             return (imgs, num), out
 
         keys = jax.random.split(rng, images.shape[0])
+        ok = (jnp.ones(images.shape[0], bool) if valid is None
+              else valid.astype(bool))
         (new_imgs, new_num), outs = jax.lax.scan(
-            step, (pool.images, pool.num), (images, keys))
+            step, (pool.images, pool.num), (images, keys, ok))
         return outs, PoolState(images=new_imgs, num=new_num)
 
     # -- forwards -------------------------------------------------------------
@@ -252,12 +266,13 @@ class CycleGANTrainer:
         return real_a, real_b, fake_a, fake_b
 
     def _gen_update(self, which: str, params, opt, disc_params, real_own,
-                    real_other, fake_other, key):
+                    real_other, fake_other, key, valid=None):
         """Update one generator. `real_own` is its source domain input,
         `real_other` the target domain, `fake_other` the other generator's
         (detached) translation of the target domain — the cycle input.
         Gradients flow through this generator's three applications only
-        (reference persistent-tape semantics, `CycleGAN.py:762-763`)."""
+        (reference persistent-tape semantics, `CycleGAN.py:762-763`).
+        `valid` (B,) removes padded batch samples from every loss term."""
         cfg = self.config
         smooth = cfg.label_smoothing_factor
         gen = self.gen_a if which == "a" else self.gen_b
@@ -271,11 +286,11 @@ class CycleGANTrainer:
             cycled = self._g(gen, p, fake_other)        # cycle branch
             logits = self._d(disc, jax.lax.stop_gradient(disc_params),
                              fake, key, True)
-            adv = lsgan_real_loss(logits, smooth)
-            cyc = cyc_fn(real_other, cycled) * lam
+            adv = lsgan_real_loss(logits, smooth, valid)
+            cyc = cyc_fn(real_other, cycled, valid) * lam
             if lam_id > 0:
                 same = self._g(gen, p, real_other)
-                ident = mae_loss(real_other, same) * lam * lam_id
+                ident = mae_loss(real_other, same, valid) * lam * lam_id
             else:
                 ident = jnp.float32(0)
             total = adv + cyc + ident
@@ -288,28 +303,30 @@ class CycleGANTrainer:
         return params, opt, {"g": total, "adv": adv, "cyc": cyc, "id": ident}
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _gen_a_step(self, gen_a, opt_ga, disc_b, real_a, real_b, fake_a, key):
+    def _gen_a_step(self, gen_a, opt_ga, disc_b, real_a, real_b, fake_a, key,
+                    valid=None):
         return self._gen_update("a", gen_a, opt_ga, disc_b, real_a, real_b,
-                                fake_a, key)
+                                fake_a, key, valid)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _gen_b_step(self, gen_b, opt_gb, disc_a, real_a, real_b, fake_b, key):
+    def _gen_b_step(self, gen_b, opt_gb, disc_a, real_a, real_b, fake_b, key,
+                    valid=None):
         return self._gen_update("b", gen_b, opt_gb, disc_a, real_b, real_a,
-                                fake_b, key)
+                                fake_b, key, valid)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4, 5, 6))
     def _disc_step(self, disc_a, disc_b, opt_da, opt_db, pool_a, pool_b,
-                   real_a, real_b, fake_a, fake_b, rng):
+                   real_a, real_b, fake_a, fake_b, rng, valid=None):
         return self._disc_core(disc_a, disc_b, opt_da, opt_db, pool_a, pool_b,
-                               real_a, real_b, fake_a, fake_b, rng)
+                               real_a, real_b, fake_a, fake_b, rng, valid)
 
     def _disc_core(self, disc_a, disc_b, opt_da, opt_db, pool_a, pool_b,
-                   real_a, real_b, fake_a, fake_b, rng):
+                   real_a, real_b, fake_a, fake_b, rng, valid=None):
         cfg = self.config
         smooth = cfg.label_smoothing_factor
         k = jax.random.split(rng, 4)
-        pooled_a, pool_a = self._pool_query(pool_a, fake_a, k[0])
-        pooled_b, pool_b = self._pool_query(pool_b, fake_b, k[1])
+        pooled_a, pool_a = self._pool_query(pool_a, fake_a, k[0], valid)
+        pooled_b, pool_b = self._pool_query(pool_b, fake_b, k[1], valid)
 
         def disc_loss(disc_params):
             da, db = disc_params
@@ -317,10 +334,10 @@ class CycleGANTrainer:
             fake_logits_a = self._d(self.disc_a, da, pooled_a, k[2], True)
             real_logits_b = self._d(self.disc_b, db, real_b, k[3], True)
             fake_logits_b = self._d(self.disc_b, db, pooled_b, k[3], True)
-            d_real_a = lsgan_real_loss(real_logits_a, smooth)
-            d_fake_a = lsgan_fake_loss(fake_logits_a, smooth)
-            d_real_b = lsgan_real_loss(real_logits_b, smooth)
-            d_fake_b = lsgan_fake_loss(fake_logits_b, smooth)
+            d_real_a = lsgan_real_loss(real_logits_a, smooth, valid)
+            d_fake_a = lsgan_fake_loss(fake_logits_a, smooth, valid)
+            d_real_b = lsgan_real_loss(real_logits_b, smooth, valid)
+            d_fake_b = lsgan_fake_loss(fake_logits_b, smooth, valid)
             d_a = (d_real_a + d_fake_a) * 0.5
             d_b = (d_real_b + d_fake_b) * 0.5
             return d_a + d_b, dict(d_a=d_a, d_b=d_b, d_real_a=d_real_a,
@@ -335,21 +352,26 @@ class CycleGANTrainer:
         disc_b = optax.apply_updates(disc_b, up_db)
         return disc_a, disc_b, opt_da, opt_db, pool_a, pool_b, daux
 
-    def train_step(self, state: CycleGANState, data_a, data_b, idx_a, idx_b, rng):
+    def train_step(self, state: CycleGANState, data_a, data_b, idx_a, idx_b,
+                   rng, valid=None):
         """One full step; batches gathered ON DEVICE from the resident
-        domain arrays (only index vectors cross the host link per step)."""
+        domain arrays (only index vectors cross the host link per step).
+        `valid` (B,) masks padded batch samples out of every loss, metric,
+        and pool update (exact configured-global-batch semantics on any
+        mesh)."""
         k = jax.random.split(rng, 3)
         real_a, real_b, fake_a, fake_b = self._fakes_step(
             state.gen_a, state.gen_b, data_a, data_b, idx_a, idx_b)
         gen_a, opt_ga, ma = self._gen_a_step(state.gen_a, state.opt_ga,
                                              state.disc_b, real_a, real_b,
-                                             fake_a, k[0])
+                                             fake_a, k[0], valid)
         gen_b, opt_gb, mb = self._gen_b_step(state.gen_b, state.opt_gb,
                                              state.disc_a, real_a, real_b,
-                                             fake_b, k[1])
+                                             fake_b, k[1], valid)
         disc_a, disc_b, opt_da, opt_db, pool_a, pool_b, daux = self._disc_step(
             state.disc_a, state.disc_b, state.opt_da, state.opt_db,
-            state.pool_a, state.pool_b, real_a, real_b, fake_a, fake_b, k[2])
+            state.pool_a, state.pool_b, real_a, real_b, fake_a, fake_b, k[2],
+            valid)
 
         new_state = CycleGANState(
             gen_a=gen_a, gen_b=gen_b, disc_a=disc_a, disc_b=disc_b,
@@ -368,7 +390,7 @@ class CycleGANTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_steps_scan(self, state: CycleGANState, data_a, data_b,
-                         idx_a, idx_b, keys):
+                         idx_a, idx_b, keys, valid=None):
         """K full train steps in ONE executable (lax.scan over the staged
         step). idx_a/idx_b: (K, B); keys: (K, 2) uint32.
 
@@ -399,14 +421,14 @@ class CycleGANTrainer:
             # stage 2: generator A update
             gen_a, opt_ga, ma = self._gen_update(
                 "a", state.gen_a, state.opt_ga, state.disc_b,
-                real_a, real_b, fake_a, k[0])
+                real_a, real_b, fake_a, k[0], valid)
             state, gen_a, opt_ga, ma, real_a, real_b, fake_a, fake_b = barrier(
                 state, gen_a, opt_ga, ma, real_a, real_b, fake_a, fake_b)
 
             # stage 3: generator B update
             gen_b, opt_gb, mb = self._gen_update(
                 "b", state.gen_b, state.opt_gb, state.disc_a,
-                real_b, real_a, fake_b, k[1])
+                real_b, real_a, fake_b, k[1], valid)
             state, gen_a, opt_ga, gen_b, opt_gb, ma, mb, real_a, real_b, \
                 fake_a, fake_b = barrier(
                     state, gen_a, opt_ga, gen_b, opt_gb, ma, mb,
@@ -416,7 +438,7 @@ class CycleGANTrainer:
             disc_a, disc_b, opt_da, opt_db, pool_a, pool_b, daux = \
                 self._disc_core(state.disc_a, state.disc_b, state.opt_da,
                                 state.opt_db, state.pool_a, state.pool_b,
-                                real_a, real_b, fake_a, fake_b, k[2])
+                                real_a, real_b, fake_a, fake_b, k[2], valid)
 
             new_state = CycleGANState(
                 gen_a=gen_a, gen_b=gen_b, disc_a=disc_a, disc_b=disc_b,
@@ -437,8 +459,18 @@ class CycleGANTrainer:
             log_every: int = 0) -> dict:
         cfg = self.config
         n_dev = len(self.mesh.devices.reshape(-1))
-        bs = max(cfg.batch_size // n_dev, 1) * n_dev
-        steps_per_epoch = max(len(dataset) // bs, 1)
+        # effective global batch == cfg.batch_size on any mesh: physical
+        # batch pads to a multiple of the device count; a valid-mask keeps
+        # padded samples out of every loss, gradient, metric, and pool
+        # update (an 8-chip run trains the SAME operating point as the
+        # single-chip run)
+        gb = cfg.batch_size
+        bs = -(-gb // n_dev) * n_dev
+        pad = bs - gb
+        valid = (jnp.asarray(np.concatenate([np.ones(gb, np.float32),
+                                             np.zeros(pad, np.float32)]))
+                 if pad else None)
+        steps_per_epoch = max(len(dataset) // gb, 1)
         if self.state is None:
             self.create_state(steps_per_epoch)
 
@@ -449,10 +481,17 @@ class CycleGANTrainer:
         if model_dir:
             os.makedirs(model_dir, exist_ok=True)
 
-        if len(dataset) < bs:
+        if len(dataset) < gb:
             raise ValueError(
                 f"dataset ({len(dataset)} items) yields no full batch at "
-                f"sharded batch size {bs}; add data or reduce batch_size")
+                f"batch size {gb}; add data or reduce batch_size")
+
+        def pad_batch(rows):
+            """(k, gb) index rows -> (k, bs) by cycling real samples."""
+            if not pad:
+                return rows
+            extra = rows[:, np.arange(pad) % gb]
+            return np.concatenate([rows, extra], axis=1)
 
         # both domains live on device for the whole run
         from semtpu.data.dataset import as_device_images
@@ -469,18 +508,18 @@ class CycleGANTrainer:
             msum = jnp.zeros(len(metric_keys))
             ia = rng.permutation(len(dataset.a))
             ib = rng.permutation(len(dataset.b))
-            n_steps = min(len(ia), len(ib)) // bs
+            n_steps = min(len(ia), len(ib)) // gb
             if scan_k > 1:
                 pos = 0
                 while pos < n_steps:
                     k_ = min(scan_k, n_steps - pos)
-                    sl_a = ia[pos * bs:(pos + k_) * bs].reshape(k_, bs)
-                    sl_b = ib[pos * bs:(pos + k_) * bs].reshape(k_, bs)
+                    sl_a = pad_batch(ia[pos * gb:(pos + k_) * gb].reshape(k_, gb))
+                    sl_b = pad_batch(ib[pos * gb:(pos + k_) * gb].reshape(k_, gb))
                     keys = key_rng.integers(0, 2**32, size=(k_, 2),
                                             dtype=np.uint32)
                     self.state, sums = self.train_steps_scan(
                         self.state, dev_a, dev_b, jnp.asarray(sl_a),
-                        jnp.asarray(sl_b), jnp.asarray(keys))
+                        jnp.asarray(sl_b), jnp.asarray(keys), valid)
                     msum = msum + sums
                     pos += k_
             else:
@@ -488,8 +527,9 @@ class CycleGANTrainer:
                     key, sub = jax.random.split(key)
                     self.state, metrics = self.train_step(
                         self.state, dev_a, dev_b,
-                        jnp.asarray(ia[k_ * bs:(k_ + 1) * bs]),
-                        jnp.asarray(ib[k_ * bs:(k_ + 1) * bs]), sub)
+                        jnp.asarray(pad_batch(ia[k_ * gb:(k_ + 1) * gb][None])[0]),
+                        jnp.asarray(pad_batch(ib[k_ * gb:(k_ + 1) * gb][None])[0]),
+                        sub, valid)
                     msum = msum + jnp.stack([metrics[kk] for kk in metric_keys])
             ep = dict(zip(metric_keys,
                           (np.asarray(jax.device_get(msum)) / n_steps).tolist()))
@@ -674,7 +714,12 @@ class CycleGANTrainer:
             payload["steps_per_epoch"] = np.int32(self._steps_per_epoch)
         save_checkpoint(path, payload)
 
-    def load(self, path_or_model_dir: str):
+    def load(self, path_or_model_dir: str, params_only: bool = False):
+        """Restore a checkpoint. `params_only=True` ships ONLY the four
+        networks' parameters to the device — skipping pools + optimizer
+        moments cuts the upload ~5x (a full-budget checkpoint is ~1.1 GB,
+        which dominates load time on a tunneled TPU); use it for
+        inference-only loads (pipeline step 4, checkpoint selection)."""
         from semtpu.train.checkpoint import restructure_opt_state
         path = path_or_model_dir
         if os.path.isdir(path) and not os.path.isdir(os.path.join(path, "gen_a")):
@@ -684,6 +729,15 @@ class CycleGANTrainer:
             if cands:
                 path = os.path.join(run, "model" if "model" in cands else cands[-1])
         payload = load_checkpoint(path)
+        if params_only:
+            if self.state is None:
+                self.create_state()
+            self.state = self.state.replace(
+                gen_a=replicate(payload["gen_a"], self.mesh),
+                gen_b=replicate(payload["gen_b"], self.mesh),
+                disc_a=replicate(payload["disc_a"], self.mesh),
+                disc_b=replicate(payload["disc_b"], self.mesh))
+            return self.state
         if "opt_ga" in payload:
             self._steps_per_epoch = int(payload["steps_per_epoch"])
             self._tx = self._make_tx(self._steps_per_epoch)

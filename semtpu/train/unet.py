@@ -119,9 +119,17 @@ class UNetTrainer:
     # -- steps ---------------------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, images_all, masks_all, img_idx, aug,
-                   key=None):
+                   key=None, valid=None):
         """One step; batches are gathered ON DEVICE from the resident
-        dataset arrays (only the tiny index vectors cross the host link)."""
+        dataset arrays (only the tiny index vectors cross the host link).
+
+        `valid` (B,) marks real samples when the batch was padded up to a
+        multiple of the mesh size: losses/gradients/metrics reduce over
+        valid samples only, so the EFFECTIVE global batch is exactly the
+        configured one on any mesh. Padded rows repeat real samples (they
+        only influence the BatchNorm running statistics, a resample of the
+        same batch)."""
+        from semtpu.train.losses import masked_mean
         images = self._shard_constraint(images_all.gather_train(img_idx, key))
         masks = self._shard_constraint(masks_all.gather(img_idx))
         images = apply_flip(images, aug)
@@ -132,7 +140,7 @@ class UNetTrainer:
             preds, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, train=True, mutable=["batch_stats"])
-            loss = weighted_bce(masks, preds, w)
+            loss = weighted_bce(masks, preds, w, valid)
             return loss, (preds, updates["batch_stats"])
 
         (loss, (preds, new_stats)), grads = jax.value_and_grad(
@@ -141,21 +149,23 @@ class UNetTrainer:
         state = state.replace(batch_stats=new_stats)
         metrics = {
             "loss": loss,
-            "mae": jnp.mean(jnp.abs(masks - preds)),
-            "acc": jnp.mean((preds > 0.5) == (masks > 0.5)),
+            "mae": masked_mean(jnp.abs(masks - preds), valid),
+            "acc": masked_mean((preds > 0.5) == (masks > 0.5), valid),
         }
         return state, metrics
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_steps_scan(self, state: TrainState, images_all, masks_all,
-                         img_idx, aug, key=None):
+                         img_idx, aug, key=None, valid=None):
         """K training steps in ONE executable via lax.scan.
 
         img_idx/aug: (K, B). Dispatch latency dominates per-step cost on
         remote/tunneled runtimes (and is non-trivial everywhere); scanning K
         steps per dispatch amortizes it K-fold. Returns summed metrics.
         `key` seeds the per-step brightness/contrast augmentation draws.
+        `valid` (B,) masks padded samples (see train_step).
         """
+        from semtpu.train.losses import masked_mean
         w = self._weighting
         step_keys = (jax.random.split(key, img_idx.shape[0])
                      if key is not None else jnp.zeros((img_idx.shape[0], 2),
@@ -172,20 +182,23 @@ class UNetTrainer:
                 preds, updates = state.apply_fn(
                     {"params": params, "batch_stats": state.batch_stats},
                     images, train=True, mutable=["batch_stats"])
-                return weighted_bce(masks, preds, w), (preds, updates["batch_stats"])
+                return (weighted_bce(masks, preds, w, valid),
+                        (preds, updates["batch_stats"]))
 
             (loss, (preds, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
-            m = jnp.stack([loss, jnp.mean(jnp.abs(masks - preds)),
-                           jnp.mean((preds > 0.5) == (masks > 0.5))])
+            m = jnp.stack([loss, masked_mean(jnp.abs(masks - preds), valid),
+                           masked_mean((preds > 0.5) == (masks > 0.5), valid)])
             return state, m
 
         state, ms = jax.lax.scan(body, state, (img_idx, aug, step_keys))
         return state, jnp.sum(ms, axis=0)
 
     @partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: TrainState, images_all, masks_all, img_idx, aug):
+    def eval_step(self, state: TrainState, images_all, masks_all, img_idx, aug,
+                  valid=None):
+        from semtpu.train.losses import masked_mean
         images = self._shard_constraint(images_all.gather(img_idx))
         masks = self._shard_constraint(masks_all.gather(img_idx))
         images = apply_flip(images, aug)
@@ -194,9 +207,9 @@ class UNetTrainer:
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
         return {
-            "loss": weighted_bce(masks, preds, self._weighting),
-            "mae": jnp.mean(jnp.abs(masks - preds)),
-            "acc": jnp.mean((preds > 0.5) == (masks > 0.5)),
+            "loss": weighted_bce(masks, preds, self._weighting, valid),
+            "mae": masked_mean(jnp.abs(masks - preds), valid),
+            "acc": masked_mean((preds > 0.5) == (masks > 0.5), valid),
         }
 
     # -- fit -----------------------------------------------------------------
@@ -204,8 +217,18 @@ class UNetTrainer:
             model_dir: str | None = None, log_every: int = 0) -> dict:
         cfg = self.config
         n_dev = len(self.mesh.devices.reshape(-1))
-        bs = max(cfg.batch_size // n_dev, 1) * n_dev
-        steps_per_epoch = max(len(train_ds) // bs, 1)
+        # the EFFECTIVE global batch is exactly cfg.batch_size on any mesh:
+        # the physical batch pads up to a multiple of the device count with
+        # repeated samples that a `valid` mask removes from every loss,
+        # gradient, and metric (an 8-device run trains the same operating
+        # point as the single-chip run that set the quality numbers)
+        gb = cfg.batch_size
+        bs = -(-gb // n_dev) * n_dev
+        pad = bs - gb
+        valid = (jnp.asarray(np.concatenate([np.ones(gb, np.float32),
+                                             np.zeros(pad, np.float32)]))
+                 if pad else None)
+        steps_per_epoch = max(len(train_ds) // gb, 1)
 
         if self.state is None:
             h, w = train_ds.images.shape[1:3]
@@ -264,19 +287,26 @@ class UNetTrainer:
                        as_device_images(val_ds.masks, self.mesh, val_ds.mask_preproc))
 
         keys = ("loss", "mae", "acc")
-        if len(train_ds) < bs:
+        if len(train_ds) < gb:
             raise ValueError(
                 f"dataset ({len(train_ds)} items) yields no full batch at "
-                f"sharded batch size {bs}; add data or reduce batch_size")
+                f"batch size {gb}; add data or reduce batch_size")
+
+        def pad_batch(rows):
+            """(n, gb, ...) -> (n, bs, ...) by cycling real samples."""
+            if not pad:
+                return rows
+            extra = rows[:, np.arange(pad) % gb]
+            return np.concatenate([rows, extra], axis=1)
 
         SCAN_CHUNK = 16   # steps per dispatch (amortizes launch latency)
         for epoch in range(cfg.epochs):
             t0 = time.time()
             msum = jnp.zeros(len(keys))
-            n_steps = len(train_ds) // bs
+            n_steps = len(train_ds) // gb
             idx = train_ds.index.copy()
             rng.shuffle(idx)
-            idx = idx[:n_steps * bs].reshape(n_steps, bs, 2)
+            idx = pad_batch(idx[:n_steps * gb].reshape(n_steps, gb, 2))
             for c0 in range(0, n_steps, SCAN_CHUNK):
                 chunk = idx[c0:c0 + SCAN_CHUNK]
                 sub = jnp.asarray(aug_rng.integers(0, 2**32, size=2,
@@ -289,12 +319,12 @@ class UNetTrainer:
                         chunk.shape[0], bs)
                     self.state, sums = self.train_steps_scan(
                         self.state, ch_imgs, ch_masks, jnp.asarray(local),
-                        jnp.asarray(chunk[:, :, 1]), sub)
+                        jnp.asarray(chunk[:, :, 1]), sub, valid)
                 else:
                     self.state, sums = self.train_steps_scan(
                         self.state, dev_imgs, dev_masks,
                         jnp.asarray(chunk[:, :, 0]),
-                        jnp.asarray(chunk[:, :, 1]), sub)
+                        jnp.asarray(chunk[:, :, 1]), sub, valid)
                 msum = msum + sums
             train_m = dict(zip(keys, np.asarray(jax.device_get(msum)) / n_steps))
 
@@ -303,11 +333,11 @@ class UNetTrainer:
                 vsum = jnp.zeros(len(keys))
                 vidx = val_ds.index
                 n_v = 0
-                for b in range(max(len(vidx) // bs, 0)):
-                    sel = vidx[b * bs:(b + 1) * bs]
+                for b in range(max(len(vidx) // gb, 0)):
+                    sel = pad_batch(vidx[b * gb:(b + 1) * gb][None])[0]
                     metrics = self.eval_step(self.state, dev_val[0], dev_val[1],
                                              jnp.asarray(sel[:, 0]),
-                                             jnp.asarray(sel[:, 1]))
+                                             jnp.asarray(sel[:, 1]), valid)
                     vsum = vsum + jnp.stack([metrics[k] for k in keys])
                     n_v += 1
                 if n_v:

@@ -139,9 +139,12 @@ class WGANTrainer:
 
     # -- the fused (3 critic + 1 generator) step ------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: WGANState, data, idx, rng):
+    def train_step(self, state: WGANState, data, idx, rng, valid=None):
         """One step; the batch is gathered ON DEVICE from the resident
-        mask array (only the index vector crosses the host link)."""
+        mask array (only the index vector crosses the host link).
+        `valid` (B,) masks padded samples out of every loss/penalty term
+        (exact configured-global-batch semantics on any mesh)."""
+        from semtpu.train.losses import masked_mean
         real_images = self._shard_constraint(data.gather(idx))
         cfg = self.config
         batch = real_images.shape[0]
@@ -155,7 +158,8 @@ class WGANTrainer:
 
             grads = jax.grad(disc_sum)(interp)
             norm = jnp.sqrt(jnp.sum(grads ** 2, axis=(1, 2, 3)) + 1e-12)
-            return jnp.mean((norm - 1.0) ** 2), jnp.mean(norm)
+            return (masked_mean((norm - 1.0) ** 2, valid),
+                    masked_mean(norm, valid))
 
         g_params, g_stats, d_params = state.g_params, state.g_stats, state.d_params
         g_opt, d_opt = state.g_opt, state.d_opt
@@ -171,7 +175,7 @@ class WGANTrainer:
             def d_loss_fn(dp):
                 fake_logits = self._disc(dp, fake, kd, True)
                 real_logits = self._disc(dp, real_images, kd, True)
-                cost = wasserstein_d_loss(real_logits, fake_logits)
+                cost = wasserstein_d_loss(real_logits, fake_logits, valid)
                 pen, norm = gradient_penalty(dp, fake, real_images, kgp)
                 return cost + pen * cfg.gp_weight, (cost, pen, norm)
 
@@ -186,7 +190,7 @@ class WGANTrainer:
         def g_loss_fn(gp_):
             fake, g_updates = self._gen(gp_, g_stats, z, True)
             logits = self._disc(d_params, fake, kd, True)
-            return wasserstein_g_loss(logits), g_updates["batch_stats"]
+            return wasserstein_g_loss(logits, valid), g_updates["batch_stats"]
 
         (g_loss, new_g_stats), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_params)
@@ -232,15 +236,16 @@ class WGANTrainer:
                 fh.write("epoch;" + ";".join(history) + ";seconds\n")
 
         n_dev = len(self.mesh.devices.reshape(-1))
-        bs = max(cfg.batch_size // n_dev, 1) * n_dev
-        if len(dataset) < bs:
-            # small mask sets are normal (a handful of user-drawn outlines x4
-            # flips); clamp to one full-dataset batch like keras fit does
-            bs = max(len(dataset) // n_dev, 1) * n_dev
-        if len(dataset) < bs:
-            raise ValueError(
-                f"dataset ({len(dataset)} items) yields no full batch at "
-                f"sharded batch size {bs}; add data or reduce batch_size")
+        # effective global batch == the configured one on any mesh (small
+        # mask sets are normal — a handful of user-drawn outlines x4 flips —
+        # so clamp to one full-dataset batch like keras fit does); physical
+        # batch pads to a multiple of the device count with a valid mask
+        gb = min(cfg.batch_size, len(dataset))
+        bs = -(-gb // n_dev) * n_dev
+        pad = bs - gb
+        valid = (jnp.asarray(np.concatenate([np.ones(gb, np.float32),
+                                             np.zeros(pad, np.float32)]))
+                 if pad else None)
 
         from semtpu.data.dataset import as_device_images
         dev_data = as_device_images(dataset.data, self.mesh, dataset.preproc)
@@ -250,12 +255,14 @@ class WGANTrainer:
             t0 = time.time()
             msum = jnp.zeros(len(metric_keys))
             idx = rng.permutation(len(dataset.data))
-            n_steps = len(idx) // bs
+            n_steps = len(idx) // gb
             for k_ in range(n_steps):
                 key, sub = jax.random.split(key)
+                row = idx[k_ * gb:(k_ + 1) * gb]
+                if pad:
+                    row = np.concatenate([row, row[np.arange(pad) % gb]])
                 self.state, metrics = self.train_step(
-                    self.state, dev_data,
-                    jnp.asarray(idx[k_ * bs:(k_ + 1) * bs]), sub)
+                    self.state, dev_data, jnp.asarray(row), sub, valid)
                 msum = msum + jnp.stack([metrics[kk] for kk in metric_keys])
             ep = dict(zip(metric_keys,
                           (np.asarray(jax.device_get(msum)) / n_steps).tolist()))

@@ -62,3 +62,45 @@ def test_infer_cli_end_to_end(tmp_path, tiny_unet):
     inst = np.array(Image.open(out_dir / "im0.tif"))
     assert inst.shape == (96, 96)
     assert os.path.isfile(csv)
+
+
+def test_infer_cli_classifier_auto_filter(tmp_path, tiny_unet):
+    """--classifier wires the plugin's auto-filter
+    (`SEM_Particle_Segmentation.java:486-542`) into the deployment CLI:
+    score threshold 0 keeps everything, threshold >1 drops every particle,
+    and the CSV notes the dropped counts."""
+    from semtpu.infer import main
+    from semtpu.train.classifier import ClassifierTrainer, ClassifierConfig
+
+    tr = tiny_unet
+    art_path = str(tmp_path / "artifact")
+    export_unet(tr, art_path)
+
+    ccfg = ClassifierConfig(num_classes=2, filters=4, tile_h=48, tile_w=48,
+                            compute_dtype=jnp.float32)
+    ctr = ClassifierTrainer(ccfg)
+    ctr.create_state()
+    cdir = str(tmp_path / "clf")
+    ctr.save(cdir)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.default_rng(3)
+    img = (rng.random((96, 96)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(in_dir / "im0.tif")
+
+    def run(out_name, thr):
+        out_dir = tmp_path / out_name
+        csv = str(tmp_path / (out_name + ".csv"))
+        main(["--model", art_path, "--input-dir", str(in_dir),
+              "--output-dir", str(out_dir), "--measure-csv", csv,
+              "--classifier", cdir, "--classifier-filters", "4",
+              "--classifier-threshold", str(thr)])
+        return (np.array(Image.open(out_dir / "im0.tif")),
+                open(csv).read())
+
+    all_kept, csv_text = run("keep", 0.0)
+    assert "classifier auto-filter dropped" in csv_text
+    none_kept, _ = run("drop", 1.01)
+    assert none_kept.sum() == 0
+    assert all_kept.sum() >= none_kept.sum()
