@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--gt", default=GT_DEFAULT)
     p.add_argument("--classifier", default=None)
     p.add_argument("--classifier-threshold", type=float, default=0.5)
+    p.add_argument("--classifier-sweep", default=None,
+                   help="comma-separated score thresholds to sweep (one "
+                        "classifier forward per image; writes "
+                        "classifier_threshold_sweep.csv), e.g. "
+                        "'0.05,0.1,0.15,0.2,0.3,0.4,0.5'")
     p.add_argument("--predictions", default=None,
                    help="default: RUN_DIR/Output_Masks_UNet")
     p.add_argument("--gt-suffix", default="_m",
@@ -77,10 +82,16 @@ def main(argv=None):
     }
 
     if args.classifier:
-        from semtpu.classify import _load_classifier, filter_mask_by_class
+        from semtpu.classify import _load_classifier, particle_class_scores
         clf = _load_classifier(args.classifier, 16, 384, 384)
         sem_dir = os.path.join(args.run_dir, "Input_Images")
-        tot_all = tot_f = 0.0
+        thresholds = [args.classifier_threshold]
+        if args.classifier_sweep:
+            thresholds = sorted({float(x) for x in
+                                 args.classifier_sweep.split(",")}
+                                | {args.classifier_threshold})
+        tot_all = {t: 0.0 for t in thresholds}
+        tot_f = {t: 0.0 for t in thresholds}
         for g, raw, gt in zip(gt_files, preds, gts):
             stem = g[:-len(end)]
             img = np.array(Image.open(os.path.join(sem_dir, stem + ".tif")),
@@ -95,14 +106,36 @@ def main(argv=None):
                           dark_background=True)
             binary = np.asarray(eight_to_four_connected(seg))
             gt_bin = (gt > 0).astype(np.uint8)
-            filt = filter_mask_by_class(
-                clf, img01, binary, score_threshold=args.classifier_threshold)
-            tot_all += instance_iou((filt > 0).astype(np.uint8), gt_bin, 0.0)
-            tot_f += instance_iou((filt > 0).astype(np.uint8), gt_bin, 9.0)
+            # ONE classifier forward + labeling per image; thresholds free
+            labels, scores = particle_class_scores(clf, img01, binary)
+            for t in thresholds:
+                if scores is None:
+                    filt = np.zeros_like(binary, np.uint8)
+                else:
+                    keep = scores >= t
+                    keep[0] = False
+                    filt = keep[labels].astype(np.uint8)
+                tot_all[t] += instance_iou(filt, gt_bin, 0.0)
+                tot_f[t] += instance_iou(filt, gt_bin, 9.0)
+        n_img = len(preds)
+        if args.classifier_sweep:
+            sweep_csv = os.path.join(args.run_dir,
+                                     "classifier_threshold_sweep.csv")
+            with open(sweep_csv, "w") as fh:
+                fh.write("score_threshold;iou_instance_all;iou_instance_gt9px\n")
+                for t in thresholds:
+                    fh.write(f"{t};{tot_all[t] / n_img:.4f};"
+                             f"{tot_f[t] / n_img:.4f}\n")
+            print(f"-> {sweep_csv}")
+            best_t = max(thresholds, key=lambda t: tot_all[t])
+            summary["classifier_best_threshold"] = best_t
+            summary["iou_instance_classifier_best"] = round(
+                tot_all[best_t] / n_img, 4)
+        t0 = args.classifier_threshold
         summary["iou_instance_classifier_filtered"] = round(
-            tot_all / len(preds), 4)
+            tot_all[t0] / n_img, 4)
         summary["iou_instance_gt9px_classifier_filtered"] = round(
-            tot_f / len(preds), 4)
+            tot_f[t0] / n_img, 4)
 
     print(json.dumps(summary))
     out = os.path.join(args.run_dir, "eval_summary.json")

@@ -97,7 +97,9 @@ def main(argv=None):
     # --- 2. render fake SEM via the run's CycleGAN B->A -------------------
     cyc = pipe._cyclegan_trainer()
     cyc.create_state()
-    cyc.load(cfg.cyclegan_model_dir)
+    # same checkpoint-resolution rule as pipeline step 4 (honors
+    # cfg.cyclegan_checkpoint); params-only: inference load, ~5x less upload
+    cyc.load(pipe._resolve_cyclegan_checkpoint(), params_only=True)
     files_b = get_image_file_paths_from_directory(sim_dir)
     masks = load_uint8_stack(files_b)
     cyc.run_inference_batched(masks, img_dir, files_b, source_domain="B")

@@ -155,21 +155,35 @@ def filter_mask_by_class(classifier, image01: np.ndarray, binary: np.ndarray,
     good-class map under each component; failing components are erased.
     Returns a uint8 {0,255} mask (for filtered-IoU evaluation).
     """
+    labels, mean_score = particle_class_scores(classifier, image01, binary,
+                                               good_class)
+    if mean_score is None:
+        return np.zeros_like(binary, np.uint8)
+    keep = mean_score >= score_threshold
+    keep[0] = False
+    return (keep[labels] * 255).astype(np.uint8)
+
+
+def particle_class_scores(classifier, image01: np.ndarray, binary: np.ndarray,
+                          good_class: int = 1):
+    """(labels, per-component mean good-class score) for one segmentation.
+
+    One classifier forward + one labeling; sweeping score thresholds
+    afterwards is free (used by the threshold-calibration sweep). Returns
+    (labels, None) for an empty mask.
+    """
     from semtpu import native
     class_map = classifier.predict_classes(image01, (binary > 0).astype(
         np.float32))[:, :, good_class]
     labels, n = native.cc_label(binary > 0, connectivity=1)
     labels = np.asarray(labels)
     if n == 0:
-        return np.zeros_like(binary, np.uint8)
+        return labels, None
     flat = labels.ravel()
     sums = np.bincount(flat, weights=np.clip(class_map, 0, 1).ravel(),
                        minlength=n + 1)
     counts = np.bincount(flat, minlength=n + 1)
-    mean_score = sums / np.maximum(counts, 1)
-    keep = mean_score >= score_threshold
-    keep[0] = False
-    return (keep[labels] * 255).astype(np.uint8)
+    return labels, sums / np.maximum(counts, 1)
 
 
 def build_training_data(image_dir: str, mask_dir: str, class_dir: str,

@@ -191,6 +191,7 @@ class Pipeline:
             lambda_identity_a=cfg.cyclegan_lambda_identity_a,
             lambda_identity_b=cfg.cyclegan_lambda_identity_b,
             invert_images=cfg.invert_images,
+            stream_from_host=cfg.use_dataloader,
             seed=cfg.seed)
         return CycleGANTrainer(ccfg, mesh=self.mesh)
 

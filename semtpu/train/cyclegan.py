@@ -107,6 +107,12 @@ class CycleGANConfig:
     # the dominant per-step cost on remote/tunneled runtimes. 1 = the
     # legacy 4-dispatch step.
     scan_steps: int = 8
+    # host-streaming data path (the reference's `use_dataloader` applies to
+    # the CycleGAN Sequence too, `CycleGAN.py:454-479`): both domains stay
+    # in host RAM as raw uint8 + loader specs and only each scan-chunk's
+    # slice is uploaded, so HBM holds one chunk instead of both domains.
+    # Device-resident (default) is faster; use this past the HBM budget.
+    stream_from_host: bool = False
     # bfloat16 activations (f32 params + InstanceNorm stats): halves the
     # backward-pass HBM footprint at 384^2 and doubles MXU throughput.
     # NOTE: the four train-step stages stay SEPARATE executables — merging
@@ -493,10 +499,26 @@ class CycleGANTrainer:
             extra = rows[:, np.arange(pad) % gb]
             return np.concatenate([rows, extra], axis=1)
 
-        # both domains live on device for the whole run
-        from semtpu.data.dataset import as_device_images
-        dev_a = as_device_images(dataset.a, self.mesh, dataset.a_preproc)
-        dev_b = as_device_images(dataset.b, self.mesh, dataset.b_preproc)
+        # both domains live on device for the whole run — or stay in host
+        # RAM with per-chunk uploads when streaming (use_dataloader parity)
+        from semtpu.data.dataset import (as_device_images, DeviceImages,
+                                         slice_device_images)
+        streaming = cfg.stream_from_host
+        if streaming:
+            if (np.asarray(dataset.a).dtype != np.uint8
+                    or np.asarray(dataset.b).dtype != np.uint8):
+                raise ValueError(
+                    "stream_from_host requires raw uint8 domains with "
+                    "loader-preproc dicts (float32 streams would ship 4x "
+                    "the bytes); load with preproc specs instead")
+            host_a = DeviceImages.from_uint8(dataset.a, host=True,
+                                             **(dataset.a_preproc or {}))
+            host_b = DeviceImages.from_uint8(dataset.b, host=True,
+                                             **(dataset.b_preproc or {}))
+            dev_a = dev_b = None
+        else:
+            dev_a = as_device_images(dataset.a, self.mesh, dataset.a_preproc)
+            dev_b = as_device_images(dataset.b, self.mesh, dataset.b_preproc)
         metric_keys = self.METRIC_KEYS
         scan_k = max(int(cfg.scan_steps), 1)
         # per-chunk step keys are built on HOST (raw uint32 pairs == old-style
@@ -517,19 +539,36 @@ class CycleGANTrainer:
                     sl_b = pad_batch(ib[pos * gb:(pos + k_) * gb].reshape(k_, gb))
                     keys = key_rng.integers(0, 2**32, size=(k_, 2),
                                             dtype=np.uint32)
-                    self.state, sums = self.train_steps_scan(
-                        self.state, dev_a, dev_b, jnp.asarray(sl_a),
-                        jnp.asarray(sl_b), jnp.asarray(keys), valid)
+                    if streaming:
+                        ch_a = slice_device_images(host_a, sl_a.reshape(-1))
+                        ch_b = slice_device_images(host_b, sl_b.reshape(-1))
+                        local = np.arange(sl_a.size, dtype=np.int32).reshape(
+                            k_, bs)
+                        self.state, sums = self.train_steps_scan(
+                            self.state, ch_a, ch_b, jnp.asarray(local),
+                            jnp.asarray(local), jnp.asarray(keys), valid)
+                    else:
+                        self.state, sums = self.train_steps_scan(
+                            self.state, dev_a, dev_b, jnp.asarray(sl_a),
+                            jnp.asarray(sl_b), jnp.asarray(keys), valid)
                     msum = msum + sums
                     pos += k_
             else:
                 for k_ in range(n_steps):
                     key, sub = jax.random.split(key)
-                    self.state, metrics = self.train_step(
-                        self.state, dev_a, dev_b,
-                        jnp.asarray(pad_batch(ia[k_ * gb:(k_ + 1) * gb][None])[0]),
-                        jnp.asarray(pad_batch(ib[k_ * gb:(k_ + 1) * gb][None])[0]),
-                        sub, valid)
+                    sl_a = pad_batch(ia[k_ * gb:(k_ + 1) * gb][None])[0]
+                    sl_b = pad_batch(ib[k_ * gb:(k_ + 1) * gb][None])[0]
+                    if streaming:
+                        ch_a = slice_device_images(host_a, sl_a)
+                        ch_b = slice_device_images(host_b, sl_b)
+                        local = np.arange(bs, dtype=np.int32)
+                        self.state, metrics = self.train_step(
+                            self.state, ch_a, ch_b, jnp.asarray(local),
+                            jnp.asarray(local), sub, valid)
+                    else:
+                        self.state, metrics = self.train_step(
+                            self.state, dev_a, dev_b, jnp.asarray(sl_a),
+                            jnp.asarray(sl_b), sub, valid)
                     msum = msum + jnp.stack([metrics[kk] for kk in metric_keys])
             ep = dict(zip(metric_keys,
                           (np.asarray(jax.device_get(msum)) / n_steps).tolist()))

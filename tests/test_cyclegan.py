@@ -54,6 +54,39 @@ def test_pool_fills_then_swaps():
     assert stored <= set(np.arange(1.0, 9.0))
 
 
+def test_streaming_matches_device_resident():
+    """stream_from_host (the reference's use_dataloader for the CycleGAN
+    Sequence, `CycleGAN.py:454-479`) uploads per-chunk uint8 slices instead
+    of both domains; identical seeds -> identical trajectory."""
+    rng = np.random.default_rng(9)
+    a_u8 = (rng.random((8, SIZE, SIZE)) * 255).astype(np.uint8)
+    b_u8 = np.where(rng.random((8, SIZE, SIZE)) > 0.8, 255, 0).astype(np.uint8)
+    a_pre = dict(normalization_range=(-1, 1))
+    b_pre = dict(normalization_range=(-1, 1))
+
+    def run(stream):
+        cfg = tiny_config(epochs=1, compute_dtype=jnp.float32,
+                          stream_from_host=stream)
+        tr = CycleGANTrainer(cfg)
+        tr.fit(PairedDomainDataset(a_u8, b_u8, a_pre, b_pre))
+        return tr.state
+
+    s_dev = run(False)
+    s_str = run(True)
+    for x, y in zip(jax.tree.leaves(s_dev.gen_a), jax.tree.leaves(s_str.gen_a)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_streaming_rejects_float_domains():
+    rng = np.random.default_rng(10)
+    a, b = domains(rng)
+    cfg = tiny_config(stream_from_host=True)
+    tr = CycleGANTrainer(cfg)
+    with pytest.raises(ValueError, match="stream_from_host"):
+        tr.fit(PairedDomainDataset(a, b))
+
+
 def test_scan_steps_match_legacy_steps():
     """A scanned step == the 4-stage dispatch step, given the same per-step
     key (the scan only amortizes dispatches, never semantics). float32 so
