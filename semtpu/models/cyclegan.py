@@ -56,6 +56,12 @@ class ResNetGenerator(nn.Module):
     use_skip_connection: bool = False
     use_resize_convolution: bool = False
     sigmoid_head: bool = False       # BCE mask head (`CycleGAN.py:417-420`)
+    # rematerialize each residual block in the backward pass: stores only
+    # block inputs instead of every IN-separated conv activation, trading
+    # ~2x residual-trunk FLOPs for less HBM activation traffic (the train
+    # step is HBM-bound at ~19% MFU, so recompute is nearly free if the
+    # traffic cut is real — the round-3 roofline experiment)
+    remat_blocks: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -78,8 +84,10 @@ class ResNetGenerator(nn.Module):
             x = InstanceNorm()(x)
             x = nn.relu(x)
 
+        Block = (nn.remat(_ResidualBlock) if self.remat_blocks
+                 else _ResidualBlock)
         for _ in range(self.num_residual_blocks):
-            x = _ResidualBlock(f, dtype=self.dtype)(x)
+            x = Block(f, dtype=self.dtype)(x)
 
         for _ in range(self.num_upsampling):
             f //= 2

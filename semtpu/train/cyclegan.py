@@ -113,6 +113,12 @@ class CycleGANConfig:
     # slice is uploaded, so HBM holds one chunk instead of both domains.
     # Device-resident (default) is faster; use this past the HBM budget.
     stream_from_host: bool = False
+    # activation rematerialization in the generators' backward passes:
+    # "none" (store everything), "blocks" (remat each residual block),
+    # "full" (remat whole generator forwards). The step is HBM-bound at
+    # ~19% MFU, so recompute FLOPs are nearly free if they cut activation
+    # traffic — measured by scripts/profile_cyclegan.py.
+    remat: str = "none"
     # bfloat16 activations (f32 params + InstanceNorm stats): halves the
     # backward-pass HBM footprint at 384^2 and doubles MXU throughput.
     # NOTE: the four train-step stages stay SEPARATE executables — merging
@@ -139,6 +145,7 @@ class CycleGANTrainer:
                       out_channels=cfg.channels,
                       use_skip_connection=cfg.use_skip_connection,
                       use_resize_convolution=cfg.use_resize_convolution,
+                      remat_blocks=cfg.remat == "blocks",
                       dtype=cfg.compute_dtype)
         # gen_a: A->B (masks); sigmoid head when BCE
         self.gen_a = ResNetGenerator(sigmoid_head=cfg.use_binary_crossentropy, **common)
@@ -242,7 +249,11 @@ class CycleGANTrainer:
 
     # -- forwards -------------------------------------------------------------
     def _g(self, module, params, x):
-        return module.apply({"params": params}, x)
+        def apply(p, v):
+            return module.apply({"params": p}, v)
+        if self.config.remat == "full":
+            apply = jax.checkpoint(apply)
+        return apply(params, x)
 
     def _d(self, module, params, x, rng, train):
         rngs = {"noise": rng} if (train and self.config.gaussian_noise_value > 0) else None

@@ -54,6 +54,36 @@ def test_pool_fills_then_swaps():
     assert stored <= set(np.arange(1.0, 9.0))
 
 
+@pytest.mark.parametrize("mode", ["blocks", "full"])
+def test_remat_matches_baseline(mode):
+    """Activation remat trades FLOPs for HBM traffic; it must not change
+    the numerics: one train step with remat == one without (float32)."""
+    rng = np.random.default_rng(11)
+    a, b = domains(rng, n=4)
+    from semtpu.data.dataset import as_device_images
+
+    def one_step(remat):
+        cfg = tiny_config(epochs=1, compute_dtype=jnp.float32, remat=remat,
+                          scan_steps=1)
+        tr = CycleGANTrainer(cfg)
+        tr.create_state(steps_per_epoch=1)
+        da = as_device_images(a, tr.mesh, None)
+        db = as_device_images(b, tr.mesh, None)
+        idx = jnp.arange(4)
+        state, m = tr.train_step(tr.state, da, db, idx, idx,
+                                 jax.random.PRNGKey(0))
+        return state, m
+
+    s0, m0 = one_step("none")
+    s1, m1 = one_step(mode)
+    for k in m0:
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]),
+                                   rtol=1e-4, atol=1e-5)
+    for x, y in zip(jax.tree.leaves(s0.gen_a), jax.tree.leaves(s1.gen_a)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_streaming_matches_device_resident():
     """stream_from_host (the reference's use_dataloader for the CycleGAN
     Sequence, `CycleGAN.py:454-479`) uploads per-chunk uint8 slices instead
