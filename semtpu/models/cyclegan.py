@@ -86,8 +86,11 @@ class ResNetGenerator(nn.Module):
 
         Block = (nn.remat(_ResidualBlock) if self.remat_blocks
                  else _ResidualBlock)
-        for _ in range(self.num_residual_blocks):
-            x = Block(f, dtype=self.dtype)(x)
+        for i in range(self.num_residual_blocks):
+            # explicit name: nn.remat's auto-name is Checkpoint_ResidualBlock,
+            # which would shift the param tree (and RNG folding) away from
+            # the non-remat layout — remat must be a pure execution knob
+            x = Block(f, dtype=self.dtype, name=f"_ResidualBlock_{i}")(x)
 
         for _ in range(self.num_upsampling):
             f //= 2
