@@ -74,6 +74,11 @@ def _orient(p, q, r) -> float:
 def _rotating_calipers(U: np.ndarray, L: np.ndarray):
     """Yield antipodal point pairs (reference `Measurements.py:230-261`)."""
     i, j = 0, len(L) - 1
+    if len(U) == 1 and len(L) == 1:
+        # degenerate single-point hull: the loop below would yield nothing
+        # (diameter 0, mirroring _min_width's n == 1 branch)
+        yield U[0], L[0]
+        return
     while i < len(U) - 1 or j > 0:
         yield U[i], L[j]
         if i == len(U) - 1:
