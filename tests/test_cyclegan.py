@@ -217,3 +217,28 @@ def test_monitor_panels(tmp_path, trained):
     import os
     files = sorted(os.listdir(tmp_path))
     assert files == ["A-B-A_Epoch_00001.tif", "B-A-B_Epoch_00001.tif"]
+
+def test_invert_images_inference_equivalence():
+    """TEM/bright-background invert path (reference `CycleGAN.py:84,268-281`;
+    run end-to-end by the TSEM variant, RESULTS.md): with invert_images=True
+    the A->B translation must equal the standard path applied to the negated
+    input, and the B->A output must be the intensity complement (255 - x)
+    of the standard output, since negation commutes with the min-max
+    normalization of the uint8 contract."""
+    rng = np.random.default_rng(3)
+    a, b = domains(rng, n=2)
+    tr = CycleGANTrainer(tiny_config())
+    tr.create_state()
+    tri = CycleGANTrainer(tiny_config(invert_images=True))
+    tri.create_state()   # same seed -> identical initial generators
+
+    out_std = tr.run_inference(list(-a), source_domain="A", tile_images=False)
+    out_inv = tri.run_inference(list(a), source_domain="A", tile_images=False)
+    for s, i in zip(out_std, out_inv):
+        np.testing.assert_array_equal(s, i)
+
+    out_std_b = tr.run_inference(list(b), source_domain="B", tile_images=False)
+    out_inv_b = tri.run_inference(list(b), source_domain="B", tile_images=False)
+    for s, i in zip(out_std_b, out_inv_b):
+        diff = np.abs(i.astype(np.int32) + s.astype(np.int32) - 255)
+        assert diff.max() <= 1, diff.max()   # complement up to u8 rounding
