@@ -1,0 +1,74 @@
+"""Ensemble-average raw UNet probability maps from several runs, then score.
+
+Averages the `*_raw.tif` maps (uint8 quantized probabilities) of two or
+more `Output_Masks_UNet*` directories — e.g. UNet variants trained on the
+same renders, or models from independent seeds whose CycleGANs rendered
+different synthetic domains — into one predictions directory, then runs
+the standard reference-protocol sweep (`scripts/eval_run.py`) on it.
+
+Cross-seed ensembling is extra capability beyond reference parity: each
+seed's render domain induces different systematic segmentation errors, so
+averaging attacks the render-domain gap that single-model selection
+cannot (RESULTS.md "Ensembling" section).
+
+Usage:
+  python scripts/ensemble_eval.py RUN_DIR OUT_NAME PRED_DIR [PRED_DIR ...]
+      [--gt GT] [--gt-suffix S]
+
+Writes RUN_DIR/OUT_NAME/<stem>_raw.tif and scores with
+`eval_run RUN_DIR --predictions RUN_DIR/OUT_NAME`.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("run_dir")
+    p.add_argument("out_name")
+    p.add_argument("pred_dirs", nargs="+")
+    p.add_argument("--gt", default=None)
+    p.add_argument("--gt-suffix", default=None)
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    out_dir = os.path.join(args.run_dir, args.out_name)
+    os.makedirs(out_dir, exist_ok=True)
+    stems = sorted(f[:-8] for f in os.listdir(args.pred_dirs[0])
+                   if f.endswith("_raw.tif"))
+    if not stems:
+        raise FileNotFoundError(f"no *_raw.tif under {args.pred_dirs[0]}")
+    for stem in stems:
+        acc = None
+        for d in args.pred_dirs:
+            raw = np.array(Image.open(os.path.join(d, stem + "_raw.tif")),
+                           np.float32)
+            acc = raw if acc is None else acc + raw
+        # _raw.tif maps are float32 probabilities in [0,1] (the UNet's raw
+        # output contract) — average in float and keep the dtype
+        mean = (acc / len(args.pred_dirs)).astype(np.float32)
+        Image.fromarray(mean).save(os.path.join(out_dir, stem + "_raw.tif"))
+    print(f"averaged {len(stems)} maps from {len(args.pred_dirs)} dirs "
+          f"-> {out_dir}")
+
+    import eval_run
+    ev = [args.run_dir, "--predictions", out_dir,
+          "--summary-name", f"eval_summary_{args.out_name}.json"]
+    if args.gt:
+        ev += ["--gt", args.gt]
+    if args.gt_suffix is not None:
+        ev += ["--gt-suffix", args.gt_suffix]
+    eval_run.main(ev)
+
+
+if __name__ == "__main__":
+    main()

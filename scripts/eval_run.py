@@ -41,6 +41,9 @@ def main(argv=None):
                    help="default: RUN_DIR/Output_Masks_UNet")
     p.add_argument("--gt-suffix", default="_m",
                    help="between GT stem and .tif ('' for the TSEM set)")
+    p.add_argument("--summary-name", default="eval_summary.json",
+                   help="summary file name under RUN_DIR (so variant/"
+                        "ensemble scores don't clobber the run's own)")
     args = p.parse_args(argv)
 
     from semtpu.utils.cache import enable_compile_cache
@@ -138,7 +141,7 @@ def main(argv=None):
             tot_f[t0] / n_img, 4)
 
     print(json.dumps(summary))
-    out = os.path.join(args.run_dir, "eval_summary.json")
+    out = os.path.join(args.run_dir, args.summary_name)
     with open(out, "w") as fh:
         json.dump(summary, fh, indent=1)
     print(f"-> {out}")
