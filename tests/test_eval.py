@@ -1,4 +1,6 @@
 """Evaluation metric tests: exact values on constructed cases."""
+import os
+
 import numpy as np
 
 from semtpu.eval import whole_image_iou, instance_iou, roc_rates, youden_index, threshold_sweep
@@ -108,3 +110,42 @@ def test_device_sweep_matches_host_path():
                  "tpr", "tnr", "fpr", "fnr", "youden"):
         a, b = getattr(dev, name), getattr(host, name)
         assert np.allclose(a, b, atol=1e-5), (name, a, b)
+
+
+def test_ensemble_eval_averages_float_maps(tmp_path):
+    """scripts/ensemble_eval.py: `_raw.tif` maps are float32 probabilities;
+    averaging must stay in float (a uint8 cast of [0,1] data collapses to
+    {0,1} — regression) and the scored summary must land under the given
+    --summary-name."""
+    import importlib.util
+    import json
+    from PIL import Image
+
+    run = tmp_path / "run"
+    d1 = run / "p1"; d2 = run / "p2"; gt_d = tmp_path / "gt"
+    for d in (d1, d2, gt_d):
+        d.mkdir(parents=True)
+    ys, xs = np.mgrid[:64, :64]
+    disc = ((ys - 32) ** 2 + (xs - 32) ** 2 <= 14 ** 2)
+    for stem in ("im0", "im1"):
+        Image.fromarray(np.where(disc, 0.2, 0.0).astype(np.float32)).save(
+            d1 / f"{stem}_raw.tif")
+        Image.fromarray(np.where(disc, 0.8, 0.1).astype(np.float32)).save(
+            d2 / f"{stem}_raw.tif")
+        Image.fromarray((disc * 255).astype(np.uint8)).save(
+            gt_d / f"{stem}_m.tif")
+    # in-process (NOT a subprocess): conftest's forced-CPU jax config must
+    # apply — sitecustomize overrides JAX_PLATFORMS in fresh interpreters
+    scripts = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    spec = importlib.util.spec_from_file_location(
+        "ensemble_eval", os.path.join(scripts, "ensemble_eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main([str(run), "ens", str(d1), str(d2), "--gt", str(gt_d)])
+    mean = np.array(Image.open(run / "ens" / "im0_raw.tif"))
+    assert mean.dtype == np.float32
+    np.testing.assert_allclose(mean[32, 32], 0.5, atol=1e-6)   # (0.2+0.8)/2
+    np.testing.assert_allclose(mean[0, 0], 0.05, atol=1e-6)    # (0.0+0.1)/2
+    summary = json.loads((run / "eval_summary_ens.json").read_text())
+    assert summary["iou_whole"] > 0.95    # mean map segments to the disc
