@@ -169,3 +169,22 @@ def test_classifier_self_supervised_flow(pipeline_run, tmp_path):
     binary[10:20, 10:20] = 255
     filt = filter_mask_by_class(clf, img01, binary)
     assert filt.shape == (64, 64) and filt.dtype == np.uint8
+
+
+def test_cyclegan_checkpoint_auto_selection(pipeline_run):
+    """`--cyclegan-checkpoint auto`: renders the mask sample with every
+    saved checkpoint, persists the per-checkpoint Li keep-rates, and
+    returns a loadable checkpoint path (PipelineConfig docstring)."""
+    pipe, cfg = pipeline_run
+    pipe.cfg.cyclegan_checkpoint = "auto"
+    try:
+        path = pipe._resolve_cyclegan_checkpoint()
+    finally:
+        pipe.cfg.cyclegan_checkpoint = None
+    assert os.path.isfile(os.path.join(path, "_CHECKPOINT_METADATA")), path
+    from semtpu.train.checkpoint import latest_checkpoint
+    run = latest_checkpoint(cfg.cyclegan_model_dir)
+    sel_csv = os.path.join(run, "checkpoint_selection.csv")
+    assert os.path.isfile(sel_csv)
+    lines = open(sel_csv).read().strip().splitlines()
+    assert lines[0] == "checkpoint;li_keep_rate" and len(lines) >= 3
