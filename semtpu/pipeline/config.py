@@ -65,6 +65,13 @@ class PipelineConfig:
     # toward sparse/washed-out renders that the Li filter rejects —
     # keep-rate 0.50 @ep20 vs 0.30 @ep50 measured in round 2, RESULTS.md)
     cyclegan_checkpoint: str | None = None
+    # auto-resume an interrupted step-3 run: if the latest CycleGAN run dir
+    # has checkpoints_* but no final `model/`, reload the newest checkpoint
+    # (exact state: optimizer moments, pools, step, schedule geometry) and
+    # continue from that epoch in the same run dir. The ~2 h CycleGAN stage
+    # is the only one long enough to need this (TPU tunnel outages observed
+    # mid-run); False always starts a fresh run dir.
+    cyclegan_resume: bool = True
     gaussian_blur_amount: float = 0.0
     invert_images: bool = False                # TEM/bright-background variant
 

@@ -217,15 +217,45 @@ class Pipeline:
         b_pre = dict(normalization_range=(0, 1) if bce else (-1, 1))
         test_a = self._load_domain(cfg.test_a_dir, False, cfg.invert_images)
         test_b = self._load_domain(cfg.test_b_dir, bce)
-        prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+        model_dir, start_epoch = self._cyclegan_resume_point()
+        if model_dir is None:
+            prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+            model_dir = os.path.join(cfg.cyclegan_model_dir, prefix)
+        else:
+            ckpt = os.path.join(model_dir, f"checkpoints_{start_epoch:03d}")
+            print(f"  resuming interrupted run {os.path.basename(model_dir)} "
+                  f"from epoch {start_epoch} ({ckpt})")
+            trainer.load(ckpt)
         trainer.fit(PairedDomainDataset(train_a, train_b, a_pre, b_pre),
-                    model_dir=os.path.join(cfg.cyclegan_model_dir, prefix),
-                    image_dir=os.path.join(cfg.cyclegan_dir, "images", prefix),
+                    model_dir=model_dir,
+                    image_dir=os.path.join(cfg.cyclegan_dir, "images",
+                                           os.path.basename(model_dir)),
                     test_a=test_a, test_b=test_b,
                     checkpoint_every=cfg.cyclegan_checkpoint_every,
-                    monitor_every=cfg.cyclegan_checkpoint_every)
+                    monitor_every=cfg.cyclegan_checkpoint_every,
+                    start_epoch=start_epoch)
         self._cyclegan = trainer
         return trainer
+
+    def _cyclegan_resume_point(self) -> tuple[str | None, int]:
+        """(run_dir, epoch) of an interrupted step-3 run to continue, or
+        (None, 0). Interrupted = the latest run dir has `checkpoints_NNN`
+        but no final `model/` (a completed `fit` always writes `model/`,
+        `train/cyclegan.py`); gated on `cfg.cyclegan_resume`."""
+        from semtpu.train.checkpoint import latest_checkpoint
+        cfg = self.cfg
+        if not cfg.cyclegan_resume:
+            return None, 0
+        run = latest_checkpoint(cfg.cyclegan_model_dir)
+        if run is None or os.path.isfile(
+                os.path.join(run, "model", "_CHECKPOINT_METADATA")):
+            return None, 0
+        ckpts = sorted(e for e in os.listdir(run)
+                       if e.startswith("checkpoints_") and os.path.isfile(
+                           os.path.join(run, e, "_CHECKPOINT_METADATA")))
+        if not ckpts:
+            return None, 0
+        return run, int(ckpts[-1].split("_")[-1])
 
     # ------------------------------------------------------------- step 4
     def _resolve_cyclegan_checkpoint(self) -> str:

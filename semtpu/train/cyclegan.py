@@ -473,7 +473,14 @@ class CycleGANTrainer:
     def fit(self, dataset: PairedDomainDataset, model_dir: str | None = None,
             image_dir: str | None = None, test_a=None, test_b=None,
             checkpoint_every: int = 1, monitor_every: int = 1,
-            log_every: int = 0) -> dict:
+            log_every: int = 0, start_epoch: int = 0) -> dict:
+        """Train for `cfg.epochs` epochs. `start_epoch > 0` resumes an
+        interrupted run after `self.load(checkpoints_{start_epoch:03d})`:
+        epochs below it are skipped but their host-RNG draws (permutations
+        + step keys) are replayed, so a resumed run consumes the exact data
+        order of an uninterrupted one — combined with the checkpoint's
+        optimizer/pool/step state the continuation is bit-identical
+        (`tests/test_resume.py`)."""
         cfg = self.config
         n_dev = len(self.mesh.devices.reshape(-1))
         # effective global batch == cfg.batch_size on any mesh: physical
@@ -537,11 +544,25 @@ class CycleGANTrainer:
         key_rng = np.random.default_rng(cfg.seed + 1)
 
         for epoch in range(cfg.epochs):
-            t0 = time.time()
-            msum = jnp.zeros(len(metric_keys))
             ia = rng.permutation(len(dataset.a))
             ib = rng.permutation(len(dataset.b))
             n_steps = min(len(ia), len(ib)) // gb
+            if epoch < start_epoch:
+                # completed before the interruption: replay this epoch's
+                # key draws without any device work
+                if scan_k > 1:
+                    pos = 0
+                    while pos < n_steps:
+                        k_ = min(scan_k, n_steps - pos)
+                        key_rng.integers(0, 2**32, size=(k_, 2),
+                                         dtype=np.uint32)
+                        pos += k_
+                else:
+                    for _ in range(n_steps):
+                        key, _ = jax.random.split(key)
+                continue
+            t0 = time.time()
+            msum = jnp.zeros(len(metric_keys))
             if scan_k > 1:
                 pos = 0
                 while pos < n_steps:

@@ -188,3 +188,30 @@ def test_cyclegan_checkpoint_auto_selection(pipeline_run):
     assert os.path.isfile(sel_csv)
     lines = open(sel_csv).read().strip().splitlines()
     assert lines[0] == "checkpoint;li_keep_rate" and len(lines) >= 3
+
+
+def test_cyclegan_resume_point_detection(tmp_path):
+    """Interrupted-run detection for step-3 auto-resume: latest run with
+    checkpoints but no final model/ -> (run, last_epoch); completed run or
+    cyclegan_resume=False -> (None, 0)."""
+    from semtpu.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(root_dir=str(tmp_path))
+    pipe = Pipeline(cfg)
+    models = cfg.cyclegan_model_dir
+    run = os.path.join(models, "2026-01-01_00-00-00")
+    for name in ("checkpoints_010", "checkpoints_020"):
+        os.makedirs(os.path.join(run, name), exist_ok=True)
+        open(os.path.join(run, name, "_CHECKPOINT_METADATA"), "w").close()
+
+    got_run, got_epoch = pipe._cyclegan_resume_point()
+    assert got_run == run and got_epoch == 20
+
+    pipe.cfg.cyclegan_resume = False
+    assert pipe._cyclegan_resume_point() == (None, 0)
+    pipe.cfg.cyclegan_resume = True
+
+    # a completed run (final model/ present) must NOT be resumed
+    os.makedirs(os.path.join(run, "model"), exist_ok=True)
+    open(os.path.join(run, "model", "_CHECKPOINT_METADATA"), "w").close()
+    assert pipe._cyclegan_resume_point() == (None, 0)

@@ -6,6 +6,8 @@ deterministic, so the comparison is tight — Adam moments and the
 LR-schedule position must survive the round-trip (SURVEY §5 target;
 reference convention: whole optimizer-bearing models, `CycleGAN.py:203-204`).
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -174,3 +176,39 @@ def test_cyclegan_resume_is_exact(tmp_path):
               "opt_ga", "opt_gb", "opt_da", "opt_db"):
         _close(getattr(s_res, k), getattr(s_full, k))
     _close(s_res.pool_a.images, s_full.pool_a.images)
+
+
+def test_cyclegan_fit_start_epoch_resume_bit_identical(tmp_path):
+    """Pipeline-level interruption recovery: fit() to completion vs
+    load(checkpoints_002) + fit(start_epoch=2) must produce IDENTICAL
+    final state — skipped epochs replay their host-RNG draws, so data
+    order and step keys match the uninterrupted run exactly."""
+    from semtpu.train.cyclegan import CycleGANTrainer, CycleGANConfig
+    from semtpu.data.dataset import PairedDomainDataset
+
+    rng = np.random.default_rng(5)
+    a = (rng.random((8, 48, 48, 1)) * 2 - 1).astype(np.float32)
+    b = np.where(rng.random((8, 48, 48, 1)) > 0.8, 1.0, -1.0).astype(np.float32)
+    ds = PairedDomainDataset(a, b)
+
+    def make():
+        return CycleGANTrainer(CycleGANConfig(
+            tile_h=48, tile_w=48, filters=4, num_residual_blocks=2,
+            batch_size=4, epochs=4, image_pool_size=6, scan_steps=2,
+            compute_dtype=jnp.float32))
+
+    d1 = str(tmp_path / "full")
+    tr_full = make()
+    tr_full.fit(ds, model_dir=d1, checkpoint_every=1)
+
+    tr_res = make()
+    tr_res.load(os.path.join(d1, "checkpoints_002"))
+    hist = tr_res.fit(ds, model_dir=str(tmp_path / "res"),
+                      checkpoint_every=0, start_epoch=2)
+    assert len(hist["g_a"]) == 2            # only epochs 2 and 3 trained
+    assert int(tr_res.state.step) == int(tr_full.state.step)
+    for k in ("gen_a", "gen_b", "disc_a", "disc_b",
+              "opt_ga", "opt_gb", "opt_da", "opt_db"):
+        _close(getattr(tr_res.state, k), getattr(tr_full.state, k))
+    _close(tr_res.state.pool_a.images, tr_full.state.pool_a.images)
+    _close(tr_res.state.pool_b.images, tr_full.state.pool_b.images)
