@@ -504,6 +504,14 @@ class CycleGANTrainer:
         csv_path = os.path.join(model_dir, "training_log.csv") if model_dir else None
         if model_dir:
             os.makedirs(model_dir, exist_ok=True)
+        if start_epoch and csv_path and os.path.isfile(csv_path):
+            # drop rows the resumed run will re-train (epochs past the
+            # checkpoint were lost to the interruption)
+            rows = open(csv_path).read().splitlines()
+            keep = [rows[0]] + [r for r in rows[1:]
+                                if r and int(r.split(";")[0]) < start_epoch]
+            with open(csv_path, "w") as fh:
+                fh.write("\n".join(keep) + "\n")
 
         if len(dataset) < gb:
             raise ValueError(

@@ -203,9 +203,12 @@ def test_cyclegan_fit_start_epoch_resume_bit_identical(tmp_path):
 
     tr_res = make()
     tr_res.load(os.path.join(d1, "checkpoints_002"))
-    hist = tr_res.fit(ds, model_dir=str(tmp_path / "res"),
+    hist = tr_res.fit(ds, model_dir=d1,     # same run dir, like step 3 does
                       checkpoint_every=0, start_epoch=2)
     assert len(hist["g_a"]) == 2            # only epochs 2 and 3 trained
+    # csv stays coherent: re-trained epochs replace the lost rows
+    rows = open(os.path.join(d1, "training_log.csv")).read().splitlines()
+    assert [r.split(";")[0] for r in rows] == ["epoch", "0", "1", "2", "3"]
     assert int(tr_res.state.step) == int(tr_full.state.step)
     for k in ("gen_a", "gen_b", "disc_a", "disc_b",
               "opt_ga", "opt_gb", "opt_da", "opt_db"):
