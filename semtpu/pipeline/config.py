@@ -91,6 +91,12 @@ class PipelineConfig:
     unet_checkpoint_monitor: str = "loss"
     # epochs without monitored improvement before stopping; 0 = run all
     unet_early_stopping_patience: int = 0
+    # mid-run resume checkpoints for step 6a (epochs between saves are the
+    # most that an interruption can lose); 0 disables
+    unet_checkpoint_every: int = 5
+    # auto-resume an interrupted step-6a run (same contract as
+    # cyclegan_resume: latest run dir with checkpoints_* but no model/)
+    unet_resume: bool = True
     unet_threshold: float = -1.0
     unet_watershed_lines: bool = True
     unet_min_distance: int = 9

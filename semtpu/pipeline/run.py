@@ -237,16 +237,16 @@ class Pipeline:
         self._cyclegan = trainer
         return trainer
 
-    def _cyclegan_resume_point(self) -> tuple[str | None, int]:
-        """(run_dir, epoch) of an interrupted step-3 run to continue, or
-        (None, 0). Interrupted = the latest run dir has `checkpoints_NNN`
-        but no final `model/` (a completed `fit` always writes `model/`,
-        `train/cyclegan.py`); gated on `cfg.cyclegan_resume`."""
+    def _resume_point(self, model_root: str,
+                      enabled: bool = True) -> tuple[str | None, int]:
+        """(run_dir, epoch) of an interrupted training run to continue, or
+        (None, 0). Interrupted = the latest run dir under `model_root` has
+        `checkpoints_NNN` but no final `model/` (a completed `fit` always
+        writes `model/`)."""
         from semtpu.train.checkpoint import latest_checkpoint
-        cfg = self.cfg
-        if not cfg.cyclegan_resume:
+        if not enabled:
             return None, 0
-        run = latest_checkpoint(cfg.cyclegan_model_dir)
+        run = latest_checkpoint(model_root)
         if run is None or os.path.isfile(
                 os.path.join(run, "model", "_CHECKPOINT_METADATA")):
             return None, 0
@@ -256,6 +256,10 @@ class Pipeline:
         if not ckpts:
             return None, 0
         return run, int(ckpts[-1].split("_")[-1])
+
+    def _cyclegan_resume_point(self) -> tuple[str | None, int]:
+        return self._resume_point(self.cfg.cyclegan_model_dir,
+                                  enabled=self.cfg.cyclegan_resume)
 
     # ------------------------------------------------------------- step 4
     def _resolve_cyclegan_checkpoint(self) -> str:
@@ -416,9 +420,19 @@ class Pipeline:
         val_ds = SegmentationDataset(imgs, masks, "val",
                                      image_preproc=i_pre, mask_preproc=m_pre)
         trainer = self._unet_trainer()
-        prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
-        trainer.fit(train_ds, val_ds,
-                    model_dir=os.path.join(cfg.unet_model_dir, prefix))
+        model_dir, start_epoch = self._resume_point(
+            cfg.unet_model_dir, enabled=cfg.unet_resume)
+        if model_dir is None:
+            prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+            model_dir = os.path.join(cfg.unet_model_dir, prefix)
+        else:
+            ckpt = os.path.join(model_dir, f"checkpoints_{start_epoch:03d}")
+            print(f"  resuming interrupted run {os.path.basename(model_dir)} "
+                  f"from epoch {start_epoch} ({ckpt})")
+            trainer.load(ckpt)
+        trainer.fit(train_ds, val_ds, model_dir=model_dir,
+                    checkpoint_every=cfg.unet_checkpoint_every,
+                    start_epoch=start_epoch)
         self._unet = trainer
         return trainer
 

@@ -214,7 +214,15 @@ class UNetTrainer:
 
     # -- fit -----------------------------------------------------------------
     def fit(self, train_ds: SegmentationDataset, val_ds: SegmentationDataset | None = None,
-            model_dir: str | None = None, log_every: int = 0) -> dict:
+            model_dir: str | None = None, log_every: int = 0,
+            checkpoint_every: int = 0, start_epoch: int = 0) -> dict:
+        """Train for `cfg.epochs` epochs. `checkpoint_every=K` saves a full
+        resume checkpoint (optimizer + best-loss monitor + patience state)
+        as `checkpoints_NNN` every K epochs; `start_epoch > 0` resumes an
+        interrupted run after `self.load(checkpoints_{start_epoch:03d})` —
+        skipped epochs replay their host-RNG draws (shuffles + aug keys),
+        so the continuation is bit-identical to an uninterrupted run
+        (`tests/test_resume.py`)."""
         cfg = self.config
         n_dev = len(self.mesh.devices.reshape(-1))
         # the EFFECTIVE global batch is exactly cfg.batch_size on any mesh:
@@ -250,11 +258,26 @@ class UNetTrainer:
         best_loss = np.inf
         epochs_since_best = 0
         best_weights = None
+        if start_epoch:
+            restored = getattr(self, "_restored_monitor", {})
+            best_loss = float(restored.get("best_loss", np.inf))
+            epochs_since_best = int(restored.get("epochs_since_best", 0))
+            if "best_params" in restored:
+                best_weights = (restored["best_params"],
+                                restored["best_batch_stats"])
         csv_path = os.path.join(model_dir, "training_log.csv") if model_dir else None
         if csv_path:
             os.makedirs(model_dir, exist_ok=True)
-            with open(csv_path, "a") as fh:
-                fh.write("epoch;loss;mae;acc;val_loss;val_mae;val_acc;seconds\n")
+            if start_epoch and os.path.isfile(csv_path):
+                # drop rows the resumed run will re-train
+                rows = open(csv_path).read().splitlines()
+                keep = [rows[0]] + [r for r in rows[1:]
+                                    if r and int(r.split(";")[0]) < start_epoch]
+                with open(csv_path, "w") as fh:
+                    fh.write("\n".join(keep) + "\n")
+            else:
+                with open(csv_path, "a") as fh:
+                    fh.write("epoch;loss;mae;acc;val_loss;val_mae;val_acc;seconds\n")
 
         # training data lives on device for the whole run (per step only the
         # index vectors cross the host link) — or stays in host RAM with
@@ -301,11 +324,17 @@ class UNetTrainer:
 
         SCAN_CHUNK = 16   # steps per dispatch (amortizes launch latency)
         for epoch in range(cfg.epochs):
-            t0 = time.time()
-            msum = jnp.zeros(len(keys))
             n_steps = len(train_ds) // gb
             idx = train_ds.index.copy()
             rng.shuffle(idx)
+            if epoch < start_epoch:
+                # completed before the interruption: replay this epoch's
+                # aug-key draws without any device work
+                for _ in range(0, n_steps, SCAN_CHUNK):
+                    aug_rng.integers(0, 2**32, size=2, dtype=np.uint32)
+                continue
+            t0 = time.time()
+            msum = jnp.zeros(len(keys))
             idx = pad_batch(idx[:n_steps * gb].reshape(n_steps, gb, 2))
             for c0 in range(0, n_steps, SCAN_CHUNK):
                 chunk = idx[c0:c0 + SCAN_CHUNK]
@@ -359,7 +388,8 @@ class UNetTrainer:
 
             monitored = (train_m["loss"] if monitor == "loss"
                          else val_m.get("val_loss", train_m["loss"]))
-            if monitored < best_loss:
+            improved = monitored < best_loss
+            if improved:
                 best_loss = monitored
                 epochs_since_best = 0
                 if monitor == "val_loss":
@@ -373,12 +403,20 @@ class UNetTrainer:
                               include_opt=False)
             else:
                 epochs_since_best += 1
-                if (cfg.early_stopping_patience
-                        and epochs_since_best >= cfg.early_stopping_patience):
-                    print(f"early stop at epoch {epoch}: no {monitor} "
-                          f"improvement in {epochs_since_best} epochs "
-                          f"(best {best_loss:.4f})")
-                    break
+            if model_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+                extra = {"best_loss": np.float32(best_loss),
+                         "epochs_since_best": np.int32(epochs_since_best)}
+                if best_weights is not None:
+                    extra["best_params"] = best_weights[0]
+                    extra["best_batch_stats"] = best_weights[1]
+                self.save(os.path.join(model_dir, f"checkpoints_{epoch + 1:03d}"),
+                          extra=extra)
+            if (not improved and cfg.early_stopping_patience
+                    and epochs_since_best >= cfg.early_stopping_patience):
+                print(f"early stop at epoch {epoch}: no {monitor} "
+                      f"improvement in {epochs_since_best} epochs "
+                      f"(best {best_loss:.4f})")
+                break
 
         if best_weights is not None:
             # val-loss monitoring restores the best-val weights so the final
@@ -402,10 +440,13 @@ class UNetTrainer:
         return optax.adam(step_decay_schedule(cfg.learning_rate, steps_per_epoch))
 
     # -- persistence ---------------------------------------------------------
-    def save(self, path: str, include_opt: bool = True):
+    def save(self, path: str, include_opt: bool = True,
+             extra: dict | None = None):
         """Checkpoint. `include_opt=True` (default) persists optimizer
         moments + step + schedule geometry, so `load` resumes EXACTLY;
-        False writes a weights-only snapshot (3x smaller)."""
+        False writes a weights-only snapshot (3x smaller). `extra` merges
+        additional state into the payload (mid-run resume checkpoints use
+        it for the best-loss monitor / early-stop counters)."""
         payload = {"params": jax.device_get(self.state.params),
                    "batch_stats": jax.device_get(self.state.batch_stats),
                    "weighting": np.float32(self._weighting)}
@@ -413,6 +454,8 @@ class UNetTrainer:
             payload["opt_state"] = jax.device_get(self.state.opt_state)
             payload["step"] = np.int32(jax.device_get(self.state.step))
             payload["steps_per_epoch"] = np.int32(self._steps_per_epoch)
+        if extra:
+            payload.update(extra)
         save_checkpoint(path, payload)
 
     def load(self, path_or_model_dir: str):
@@ -448,6 +491,13 @@ class UNetTrainer:
                                       tx=optax.identity(),
                                       batch_stats=payload["batch_stats"])
         self.state = replicate(state, self.mesh)
+        # monitor/early-stop state of a mid-run resume checkpoint, if any —
+        # fit(start_epoch=...) picks it up so the best-loss tracking and
+        # patience counter continue exactly
+        self._restored_monitor = {
+            k: payload[k] for k in ("best_loss", "epochs_since_best",
+                                    "best_params", "best_batch_stats")
+            if k in payload}
         return self.state
 
     # -- inference -----------------------------------------------------------

@@ -215,3 +215,42 @@ def test_cyclegan_fit_start_epoch_resume_bit_identical(tmp_path):
         _close(getattr(tr_res.state, k), getattr(tr_full.state, k))
     _close(tr_res.state.pool_a.images, tr_full.state.pool_a.images)
     _close(tr_res.state.pool_b.images, tr_full.state.pool_b.images)
+
+
+def test_unet_fit_start_epoch_resume_bit_identical(tmp_path):
+    """Step-6a interruption recovery: fit() to completion vs
+    load(checkpoints_002) + fit(start_epoch=2) — identical final state and
+    continued best-loss/patience monitor (host-RNG replay as in the
+    CycleGAN analog)."""
+    from semtpu.train.unet import UNetTrainer, UNetConfig
+    from semtpu.data.dataset import SegmentationDataset
+
+    rng = np.random.default_rng(6)
+    n, size = 12, 48
+    imgs = rng.random((n, size, size, 1)).astype(np.float32)
+    masks = (rng.random((n, size, size, 1)) > 0.7).astype(np.float32)
+    train_ds = SegmentationDataset(imgs, masks, "train")
+    val_ds = SegmentationDataset(imgs, masks, "val")
+
+    def make():
+        return UNetTrainer(UNetConfig(
+            filters=4, batch_size=8, epochs=4, tile_h=48, tile_w=48,
+            checkpoint_monitor="val_loss", compute_dtype=jnp.float32))
+
+    d1 = str(tmp_path / "full")
+    tr_full = make()
+    tr_full.fit(train_ds, val_ds, model_dir=d1, checkpoint_every=2)
+    assert os.path.isdir(os.path.join(d1, "checkpoints_002"))
+
+    tr_res = make()
+    tr_res.load(os.path.join(d1, "checkpoints_002"))
+    assert "best_loss" in tr_res._restored_monitor
+    hist = tr_res.fit(train_ds, val_ds, model_dir=d1,
+                      checkpoint_every=0, start_epoch=2)
+    assert len(hist["loss"]) == 2           # only epochs 2 and 3 trained
+    assert int(tr_res.state.step) == int(tr_full.state.step)
+    _close(tr_res.state.params, tr_full.state.params)
+    _close(tr_res.state.batch_stats, tr_full.state.batch_stats)
+    _close(tr_res.state.opt_state, tr_full.state.opt_state)
+    rows = open(os.path.join(d1, "training_log.csv")).read().splitlines()
+    assert [r.split(";")[0] for r in rows] == ["epoch", "0", "1", "2", "3"]
