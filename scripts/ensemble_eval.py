@@ -1,6 +1,7 @@
 """Ensemble-average raw UNet probability maps from several runs, then score.
 
-Averages the `*_raw.tif` maps (uint8 quantized probabilities) of two or
+Averages the `*_raw.tif` maps (float32 probabilities in [0, 1] — the
+UNet's raw-output contract) of two or
 more `Output_Masks_UNet*` directories — e.g. UNet variants trained on the
 same renders, or models from independent seeds whose CycleGANs rendered
 different synthetic domains — into one predictions directory, then runs
@@ -52,6 +53,8 @@ def main(argv=None):
         for d in args.pred_dirs:
             raw = np.array(Image.open(os.path.join(d, stem + "_raw.tif")),
                            np.float32)
+            if raw.max() > 1.5:   # foreign uint8 0-255 map: bring to [0,1]
+                raw = raw / 255.0
             acc = raw if acc is None else acc + raw
         # _raw.tif maps are float32 probabilities in [0,1] (the UNet's raw
         # output contract) — average in float and keep the dtype

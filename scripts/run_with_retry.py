@@ -81,7 +81,7 @@ def main(argv=None):
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
     if not cmd:
         p.error("no command given after --")
-    if cmd[0].endswith("python") or cmd[0] == sys.executable:
+    if os.path.basename(cmd[0]).startswith("python"):
         cmd = [cmd[0], "-u"] + cmd[1:]     # unbuffered: log mtime == progress
 
     def note(msg):

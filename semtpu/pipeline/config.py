@@ -97,6 +97,14 @@ class PipelineConfig:
     # auto-resume an interrupted step-6a run (same contract as
     # cyclegan_resume: latest run dir with checkpoints_* but no model/)
     unet_resume: bool = True
+    # record finished steps in <root>/.completed_steps and skip them on
+    # re-runs of the same command — the unattended-recovery flow
+    # (scripts/run_with_retry.py relaunches the FULL command after a
+    # wedge; without this, a completed ~2 h step 3 would retrain from
+    # scratch and its new renders would void step 6a's exact resume).
+    # Default off: deliberately re-running a step retrains it (reference
+    # rerun semantics).
+    skip_completed_steps: bool = False
     unet_threshold: float = -1.0
     unet_watershed_lines: bool = True
     unet_min_distance: int = 9

@@ -217,15 +217,8 @@ class Pipeline:
         b_pre = dict(normalization_range=(0, 1) if bce else (-1, 1))
         test_a = self._load_domain(cfg.test_a_dir, False, cfg.invert_images)
         test_b = self._load_domain(cfg.test_b_dir, bce)
-        model_dir, start_epoch = self._cyclegan_resume_point()
-        if model_dir is None:
-            prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
-            model_dir = os.path.join(cfg.cyclegan_model_dir, prefix)
-        else:
-            ckpt = os.path.join(model_dir, f"checkpoints_{start_epoch:03d}")
-            print(f"  resuming interrupted run {os.path.basename(model_dir)} "
-                  f"from epoch {start_epoch} ({ckpt})")
-            trainer.load(ckpt)
+        model_dir, start_epoch = self._train_run_dir(
+            cfg.cyclegan_model_dir, cfg.cyclegan_resume, trainer)
         trainer.fit(PairedDomainDataset(train_a, train_b, a_pre, b_pre),
                     model_dir=model_dir,
                     image_dir=os.path.join(cfg.cyclegan_dir, "images",
@@ -250,9 +243,10 @@ class Pipeline:
         if run is None or os.path.isfile(
                 os.path.join(run, "model", "_CHECKPOINT_METADATA")):
             return None, 0
-        ckpts = sorted(e for e in os.listdir(run)
-                       if e.startswith("checkpoints_") and os.path.isfile(
-                           os.path.join(run, e, "_CHECKPOINT_METADATA")))
+        ckpts = sorted((e for e in os.listdir(run)
+                        if e.startswith("checkpoints_") and os.path.isfile(
+                            os.path.join(run, e, "_CHECKPOINT_METADATA"))),
+                       key=lambda e: int(e.split("_")[-1]))
         if not ckpts:
             return None, 0
         return run, int(ckpts[-1].split("_")[-1])
@@ -260,6 +254,21 @@ class Pipeline:
     def _cyclegan_resume_point(self) -> tuple[str | None, int]:
         return self._resume_point(self.cfg.cyclegan_model_dir,
                                   enabled=self.cfg.cyclegan_resume)
+
+    def _train_run_dir(self, model_root: str, enabled: bool,
+                       trainer) -> tuple[str, int]:
+        """Resume-or-fresh run-dir selection shared by steps 3 and 6a:
+        continue the latest interrupted run (load its newest checkpoint
+        into `trainer`) or mint a fresh timestamped dir."""
+        model_dir, start_epoch = self._resume_point(model_root, enabled)
+        if model_dir is None:
+            prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+            return os.path.join(model_root, prefix), 0
+        ckpt = os.path.join(model_dir, f"checkpoints_{start_epoch:03d}")
+        print(f"  resuming interrupted run {os.path.basename(model_dir)} "
+              f"from epoch {start_epoch} ({ckpt})")
+        trainer.load(ckpt)
+        return model_dir, start_epoch
 
     # ------------------------------------------------------------- step 4
     def _resolve_cyclegan_checkpoint(self) -> str:
@@ -420,16 +429,8 @@ class Pipeline:
         val_ds = SegmentationDataset(imgs, masks, "val",
                                      image_preproc=i_pre, mask_preproc=m_pre)
         trainer = self._unet_trainer()
-        model_dir, start_epoch = self._resume_point(
-            cfg.unet_model_dir, enabled=cfg.unet_resume)
-        if model_dir is None:
-            prefix = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
-            model_dir = os.path.join(cfg.unet_model_dir, prefix)
-        else:
-            ckpt = os.path.join(model_dir, f"checkpoints_{start_epoch:03d}")
-            print(f"  resuming interrupted run {os.path.basename(model_dir)} "
-                  f"from epoch {start_epoch} ({ckpt})")
-            trainer.load(ckpt)
+        model_dir, start_epoch = self._train_run_dir(
+            cfg.unet_model_dir, cfg.unet_resume, trainer)
         trainer.fit(train_ds, val_ds, model_dir=model_dir,
                     checkpoint_every=cfg.unet_checkpoint_every,
                     start_epoch=start_epoch)
@@ -508,7 +509,26 @@ class Pipeline:
     }
 
     def run(self, steps: list[str] | None = None):
+        """Run the given steps (default: all). With
+        `cfg.skip_completed_steps`, steps recorded in
+        `<root>/.completed_steps` are skipped and each step is recorded
+        there as it finishes — so re-running the SAME command after an
+        interruption (the `run_with_retry` flow) redoes only unfinished
+        work, with steps 3/6a additionally auto-resuming mid-run. Default
+        off: re-running a step deliberately retrains it (reference
+        semantics)."""
         print(f"Start: {datetime.now()}")
+        marker = os.path.join(self.cfg.root_dir, ".completed_steps")
+        done = set()
+        if self.cfg.skip_completed_steps and os.path.isfile(marker):
+            done = set(open(marker).read().split())
         for s in steps or list(self.STEPS):
+            if s in done:
+                print(f"Step {s}: already completed, skipping "
+                      f"(skip_completed_steps)")
+                continue
             getattr(self, self.STEPS[s])()
+            if self.cfg.skip_completed_steps:
+                with open(marker, "a") as fh:
+                    fh.write(s + "\n")
         print(f"Finished: {datetime.now()}")

@@ -65,3 +65,16 @@ def latest_checkpoint(model_dir: str, pattern: str = r".*") -> str | None:
                      if re.match(pattern, e)
                      and os.path.isdir(os.path.join(model_dir, e)))
     return os.path.join(model_dir, entries[-1]) if entries else None
+
+
+def truncate_epoch_csv(csv_path: str, start_epoch: int) -> None:
+    """Drop `training_log.csv` rows with epoch >= start_epoch — a resumed
+    run re-trains those epochs, so their pre-interruption rows would
+    duplicate (used by the trainers' `fit(start_epoch=...)`)."""
+    if not (start_epoch and os.path.isfile(csv_path)):
+        return
+    rows = open(csv_path).read().splitlines()
+    keep = [rows[0]] + [r for r in rows[1:]
+                        if r and int(r.split(";")[0]) < start_epoch]
+    with open(csv_path, "w") as fh:
+        fh.write("\n".join(keep) + "\n")

@@ -53,7 +53,8 @@ from semtpu.parallel import get_mesh, shard_batch, replicate
 from semtpu.train.losses import (lsgan_real_loss, lsgan_fake_loss, mae_loss,
                                  binary_crossentropy)
 from semtpu.train.schedules import cyclegan_linear_decay_schedule
-from semtpu.train.checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+from semtpu.train.checkpoint import (save_checkpoint, load_checkpoint,
+                                     latest_checkpoint, truncate_epoch_csv)
 
 
 @struct.dataclass
@@ -501,17 +502,16 @@ class CycleGANTrainer:
         rng = np.random.default_rng(cfg.seed)
         key = jax.random.PRNGKey(cfg.seed + 1)
         history: dict[str, list] = {}
+        if start_epoch > cfg.epochs:
+            raise ValueError(
+                f"start_epoch {start_epoch} > epochs {cfg.epochs}: the "
+                "resumed run has nothing to train — raise epochs to the "
+                "interrupted run's budget, or start a fresh run")
         csv_path = os.path.join(model_dir, "training_log.csv") if model_dir else None
         if model_dir:
             os.makedirs(model_dir, exist_ok=True)
-        if start_epoch and csv_path and os.path.isfile(csv_path):
-            # drop rows the resumed run will re-train (epochs past the
-            # checkpoint were lost to the interruption)
-            rows = open(csv_path).read().splitlines()
-            keep = [rows[0]] + [r for r in rows[1:]
-                                if r and int(r.split(";")[0]) < start_epoch]
-            with open(csv_path, "w") as fh:
-                fh.write("\n".join(keep) + "\n")
+        if csv_path:
+            truncate_epoch_csv(csv_path, start_epoch)
 
         if len(dataset) < gb:
             raise ValueError(

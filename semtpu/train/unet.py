@@ -35,7 +35,8 @@ from semtpu.ops import segment, eight_to_four_connected
 from semtpu.parallel import get_mesh, shard_batch, replicate
 from semtpu.train.losses import weighted_bce
 from semtpu.train.schedules import step_decay_schedule, linear_decay_schedule
-from semtpu.train.checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+from semtpu.train.checkpoint import (save_checkpoint, load_checkpoint,
+                                     latest_checkpoint, truncate_epoch_csv)
 
 
 class TrainState(train_state.TrainState):
@@ -265,16 +266,16 @@ class UNetTrainer:
             if "best_params" in restored:
                 best_weights = (restored["best_params"],
                                 restored["best_batch_stats"])
+        if start_epoch > cfg.epochs:
+            raise ValueError(
+                f"start_epoch {start_epoch} > epochs {cfg.epochs}: the "
+                "resumed run has nothing to train — raise epochs to the "
+                "interrupted run's budget, or start a fresh run")
         csv_path = os.path.join(model_dir, "training_log.csv") if model_dir else None
         if csv_path:
             os.makedirs(model_dir, exist_ok=True)
             if start_epoch and os.path.isfile(csv_path):
-                # drop rows the resumed run will re-train
-                rows = open(csv_path).read().splitlines()
-                keep = [rows[0]] + [r for r in rows[1:]
-                                    if r and int(r.split(";")[0]) < start_epoch]
-                with open(csv_path, "w") as fh:
-                    fh.write("\n".join(keep) + "\n")
+                truncate_epoch_csv(csv_path, start_epoch)
             else:
                 with open(csv_path, "a") as fh:
                     fh.write("epoch;loss;mae;acc;val_loss;val_mae;val_acc;seconds\n")
@@ -407,6 +408,13 @@ class UNetTrainer:
                 extra = {"best_loss": np.float32(best_loss),
                          "epochs_since_best": np.int32(epochs_since_best)}
                 if best_weights is not None:
+                    # best weights must live IN this checkpoint: the
+                    # checkpoint_lowest_loss snapshot keeps being
+                    # overwritten after this save, so at restore time it
+                    # can reflect a LATER epoch than this checkpoint —
+                    # reusing it would break the bit-identical-resume
+                    # contract exactly when an improvement lands between
+                    # the cadence save and the interruption
                     extra["best_params"] = best_weights[0]
                     extra["best_batch_stats"] = best_weights[1]
                 self.save(os.path.join(model_dir, f"checkpoints_{epoch + 1:03d}"),

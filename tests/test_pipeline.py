@@ -215,3 +215,30 @@ def test_cyclegan_resume_point_detection(tmp_path):
     os.makedirs(os.path.join(run, "model"), exist_ok=True)
     open(os.path.join(run, "model", "_CHECKPOINT_METADATA"), "w").close()
     assert pipe._cyclegan_resume_point() == (None, 0)
+
+
+def test_skip_completed_steps(tmp_path, monkeypatch):
+    """cfg.skip_completed_steps: finished steps are recorded in
+    .completed_steps and skipped on re-runs of the same command (the
+    run_with_retry relaunch flow — without this a completed step 3 would
+    retrain from scratch after a step-6a wedge)."""
+    from semtpu.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(root_dir=str(tmp_path), skip_completed_steps=True)
+    pipe = Pipeline(cfg)
+    calls = []
+    monkeypatch.setattr(Pipeline, "step_0_prepare",
+                        lambda self: calls.append("0"))
+    monkeypatch.setattr(Pipeline, "step_1_train_wgan",
+                        lambda self: calls.append("1"))
+    pipe.run(["0", "1"])
+    assert calls == ["0", "1"]
+    marker = os.path.join(str(tmp_path), ".completed_steps")
+    assert open(marker).read().split() == ["0", "1"]
+    pipe2 = Pipeline(cfg)
+    pipe2.run(["0", "1"])
+    assert calls == ["0", "1"]          # nothing re-ran
+    # default-off keeps reference rerun semantics
+    cfg3 = PipelineConfig(root_dir=str(tmp_path))
+    Pipeline(cfg3).run(["0"])
+    assert calls == ["0", "1", "0"]
