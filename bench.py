@@ -225,6 +225,30 @@ def main():
         pass
     import jax.numpy as jnp
 
+    # fail FAST and clearly if the tunneled TPU is unreachable (outages
+    # observed lasting hours; backend init alone can block ~25 min) —
+    # probe from a subprocess so a hang cannot wedge the bench itself
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.ones(()) * 2))"],
+            timeout=120, capture_output=True)
+        if probe.returncode != 0:
+            log("# TPU backend unavailable (probe failed):")
+            log(probe.stderr.decode()[-500:])
+            print(json.dumps({"metric": "unet_tiled_inference_throughput",
+                              "value": 0, "unit": "tiles/s/chip",
+                              "vs_baseline": 0,
+                              "error": "tpu_unavailable"}))
+            return 1
+    except subprocess.TimeoutExpired:
+        log("# TPU probe timed out after 120 s (tunnel wedged)")
+        print(json.dumps({"metric": "unet_tiled_inference_throughput",
+                          "value": 0, "unit": "tiles/s/chip",
+                          "vs_baseline": 0, "error": "tpu_wedged"}))
+        return 1
+
     details = {}
     tiles_per_sec, ref_tiles_per_sec = bench_unet_inference(jax, jnp, details)
     for fn in (bench_unet_train, bench_wgan_train, bench_cyclegan_train):
@@ -249,4 +273,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
