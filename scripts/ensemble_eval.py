@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("pred_dirs", nargs="+")
     p.add_argument("--gt", default=None)
     p.add_argument("--gt-suffix", default=None)
+    p.add_argument("--mode", choices=("mean", "median"), default="mean",
+                   help="per-pixel combiner; median is more robust to one "
+                        "outlier seed when ensembling 3+ runs")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -49,19 +52,21 @@ def main(argv=None):
     if not stems:
         raise FileNotFoundError(f"no *_raw.tif under {args.pred_dirs[0]}")
     for stem in stems:
-        acc = None
+        maps = []
         for d in args.pred_dirs:
             raw = np.array(Image.open(os.path.join(d, stem + "_raw.tif")),
                            np.float32)
             if raw.max() > 1.5:   # foreign uint8 0-255 map: bring to [0,1]
                 raw = raw / 255.0
-            acc = raw if acc is None else acc + raw
+            maps.append(raw)
         # _raw.tif maps are float32 probabilities in [0,1] (the UNet's raw
-        # output contract) — average in float and keep the dtype
-        mean = (acc / len(args.pred_dirs)).astype(np.float32)
-        Image.fromarray(mean).save(os.path.join(out_dir, stem + "_raw.tif"))
-    print(f"averaged {len(stems)} maps from {len(args.pred_dirs)} dirs "
-          f"-> {out_dir}")
+        # output contract) — combine in float and keep the dtype
+        stack = np.stack(maps)
+        comb = (np.median(stack, axis=0) if args.mode == "median"
+                else stack.mean(axis=0)).astype(np.float32)
+        Image.fromarray(comb).save(os.path.join(out_dir, stem + "_raw.tif"))
+    print(f"{args.mode}-combined {len(stems)} maps from "
+          f"{len(args.pred_dirs)} dirs -> {out_dir}")
 
     import eval_run
     ev = [args.run_dir, "--predictions", out_dir,

@@ -106,6 +106,10 @@ class PipelineConfig:
     # rerun semantics).
     skip_completed_steps: bool = False
     unet_threshold: float = -1.0
+    # extra capability beyond the reference: average step-6b sigmoid maps
+    # over the 4-flip group at inference (matches the trainer's x4 flip
+    # augmentation set); default off = reference behavior
+    unet_tta_flips: bool = False
     unet_watershed_lines: bool = True
     unet_min_distance: int = 9
     min_overlap: int = 2

@@ -516,11 +516,35 @@ class UNetTrainer:
                               images, train=False)
 
     def predict_image(self, image: np.ndarray, tile_images: bool = True,
-                      min_overlap: int = 2, manage_overlap_mode: int = 2) -> np.ndarray:
-        """Raw sigmoid map for one (H, W, 1) image, tiled or whole."""
-        cfg = self.config
+                      min_overlap: int = 2, manage_overlap_mode: int = 2,
+                      tta_flips: bool = False) -> np.ndarray:
+        """Raw sigmoid map for one (H, W, 1) image, tiled or whole.
+
+        `tta_flips=True` averages the map over the 4-element flip group
+        (identity / horizontal / vertical / both) — test-time augmentation
+        matching the x4 flip set the trainer augments with
+        (`UNet_Segmentation.py` flip augmentation). Extra capability beyond
+        the reference (which predicts once); default off.
+        """
         if image.ndim == 2:
             image = image[:, :, None]
+        if not tta_flips:
+            return self._predict_once(image, tile_images, min_overlap,
+                                      manage_overlap_mode)
+        acc = None
+        for fh, fv in ((False, False), (True, False), (False, True), (True, True)):
+            view = image[:, ::-1] if fh else image
+            view = view[::-1] if fv else view
+            out = self._predict_once(np.ascontiguousarray(view), tile_images,
+                                     min_overlap, manage_overlap_mode)
+            out = out[:, ::-1] if fh else out
+            out = out[::-1] if fv else out
+            acc = out if acc is None else acc + out
+        return acc / 4.0
+
+    def _predict_once(self, image: np.ndarray, tile_images: bool,
+                      min_overlap: int, manage_overlap_mode: int) -> np.ndarray:
+        cfg = self.config
         if tile_images:
             tiles = tile_image(image, cfg.tile_h, cfg.tile_w, min_overlap=min_overlap)
             preds = self._forward(self.state, tiles)   # all tiles in ONE batch
@@ -536,7 +560,8 @@ class UNetTrainer:
                       threshold: float = -1.0, watershed_lines: bool = True,
                       min_distance: int = 9, min_overlap: int = 2,
                       manage_overlap_mode: int = 2,
-                      zero_bottom_rows: int = 0) -> list[np.ndarray]:
+                      zero_bottom_rows: int = 0,
+                      tta_flips: bool = False) -> list[np.ndarray]:
         """Full inference + instance postprocessing for a batch of images.
 
         Saves `<stem>_raw.tif` (raw float map) and `<stem>.tif` (binary
@@ -551,7 +576,8 @@ class UNetTrainer:
         for i in range(len(images)):
             raw = self.predict_image(images[i], tile_images=tile_images,
                                      min_overlap=min_overlap,
-                                     manage_overlap_mode=manage_overlap_mode)[:, :, 0]
+                                     manage_overlap_mode=manage_overlap_mode,
+                                     tta_flips=tta_flips)[:, :, 0]
             if zero_bottom_rows > 0:
                 raw = raw.copy()
                 raw[raw.shape[0] - zero_bottom_rows:] = 0.0

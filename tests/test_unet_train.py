@@ -90,6 +90,24 @@ def test_tiled_inference_matches_whole(trained):
     assert np.abs(np.asarray(tiled) - np.asarray(whole)).mean() < 0.12
 
 
+def test_tta_flips_is_flip_equivariant(trained):
+    """Averaging over the full 4-flip group makes the prediction exactly
+    equivariant to input flips: predict(flip(x), tta) == flip(predict(x, tta)).
+    A plain single prediction of this (asymmetric-weight) net is NOT, so the
+    assertion fails if any view is unflipped incorrectly."""
+    trainer, _, (imgs, _) = trained
+    x = imgs[0]
+    base = trainer.predict_image(x, tile_images=False, tta_flips=True)
+    flipped = trainer.predict_image(np.ascontiguousarray(x[:, ::-1]),
+                                    tile_images=False, tta_flips=True)
+    np.testing.assert_allclose(np.asarray(flipped[:, ::-1]), np.asarray(base),
+                               atol=1e-5)
+    # and it is a genuine average: bounded by the per-view min/max
+    single = trainer.predict_image(x, tile_images=False)
+    assert not np.allclose(single, base)  # TTA actually changed the map
+    assert base.min() >= 0.0 and base.max() <= 1.0
+
+
 def test_checkpoint_roundtrip(tmp_path, trained):
     trainer, _, (imgs, _) = trained
     p = str(tmp_path / "ckpt")
