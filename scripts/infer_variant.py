@@ -77,8 +77,9 @@ def main(argv=None):
     if args.no_eval:
         return 0
     import eval_run
+    tag = args.out_name.replace("Output_Masks_UNet_", "")
     ev = [args.run_dir, "--predictions", out_dir,
-          "--summary-name", f"eval_summary_{args.out_name}.json"]
+          "--summary-name", f"eval_summary_{tag}.json"]
     if args.gt:
         ev += ["--gt", args.gt]
     if args.gt_suffix is not None:
