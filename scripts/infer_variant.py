@@ -6,7 +6,8 @@ holds several trained variants (round-3 has v1/v2/v3 side by side). This
 script loads an explicit model run (preferring its best-val
 `checkpoint_lowest_loss`), reproduces step 6b's exact preprocessing
 (`UNet_Segmentation.py:322-351` contract: (0,1) normalization, contrast
-percentiles, tiled forward, metadata-bar zeroing), writes
+percentiles, whole-image forward — the pipeline default, `--tiled` opts
+into 384x384 tiling — metadata-bar zeroing), writes
 `<root>/<out-name>/` prediction maps, and scores them with eval_run.
 
 Extra capability: `--tta` averages each map over the 4-flip group
@@ -34,6 +35,12 @@ def main(argv=None):
                    help="a 3_UNet/Models/<stamp> dir (or a direct checkpoint dir)")
     p.add_argument("out_name", help="output dir name under RUN_DIR")
     p.add_argument("--tta", action="store_true")
+    p.add_argument("--tiled", action="store_true",
+                   help="tile 384x384 instead of whole-image forward; the "
+                        "pipeline default is WHOLE-image "
+                        "(run_inference_on_whole_image=True), so variant "
+                        "scores stay comparable to step-6b baselines unless "
+                        "this is set")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--metadata-bar-rows", type=int, default=56)
     p.add_argument("--contrast", default="0.5,99.5")
@@ -70,11 +77,15 @@ def main(argv=None):
     out_dir = os.path.join(args.run_dir, args.out_name)
     os.makedirs(out_dir, exist_ok=True)
     trainer.run_inference(images, files, out_dir,
+                          tile_images=args.tiled,
                           zero_bottom_rows=args.metadata_bar_rows,
                           tta_flips=args.tta)
-    print(f"wrote {len(files)} predictions -> {out_dir} (tta={args.tta})")
+    print(f"wrote {len(files)} predictions -> {out_dir} "
+          f"(tta={args.tta}, tiled={args.tiled})")
 
-    if args.no_eval:
+    if args.no_eval or args.limit:
+        if args.limit and not args.no_eval:
+            print("--limit set: skipping eval (the sweep needs every GT stem)")
         return 0
     import eval_run
     tag = args.out_name.replace("Output_Masks_UNet_", "")

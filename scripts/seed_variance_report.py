@@ -32,22 +32,40 @@ BASELINE = {"iou_whole": 0.8762, "iou_instance_all": 0.5750, "youden": 0.9120}
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("summaries", nargs="+", help="per-seed eval_summary JSON paths")
-    p.add_argument("--ensemble", default=None,
-                   help="optional cross-seed ensemble eval_summary JSON")
+    p.add_argument("--ensemble", action="append", default=[],
+                   help="cross-seed ensemble eval_summary JSON(s); repeatable, "
+                        "missing paths are skipped with a note")
     p.add_argument("--out", default="SEED_VARIANCE.json")
     args = p.parse_args(argv)
 
     runs = []
+    seen = set()
     for path in args.summaries:
+        name = os.path.dirname(path) or path
+        if name in seen:  # two summaries from one run dir: disambiguate
+            tag = os.path.splitext(os.path.basename(path))[0]
+            name = f"{name}/{tag.replace('eval_summary_', '')}"
+        seen.add(name)
         with open(path) as f:
-            runs.append((os.path.dirname(path) or path, json.load(f)))
-    ens = None
-    if args.ensemble and os.path.exists(args.ensemble):
-        with open(args.ensemble) as f:
-            ens = json.load(f)
+            runs.append((name, json.load(f)))
+    ensembles = []
+    for path in args.ensemble:
+        if os.path.exists(path):
+            with open(path) as f:
+                ensembles.append((os.path.basename(path), json.load(f)))
+        else:
+            print(f"note: ensemble summary {path} not found — skipped")
+
+    # the summaries embed the reference numbers they were scored against
+    # (eval_run.py writes baseline_v120); fall back to the module constant
+    emb = runs[0][1].get("baseline_v120", {})
+    baseline = {"iou_whole": emb.get("iou_whole", BASELINE["iou_whole"]),
+                "iou_instance_all": emb.get("iou_instance",
+                                            BASELINE["iou_instance_all"]),
+                "youden": emb.get("youden", BASELINE["youden"])}
 
     report = {"runs": {name: s for name, s in runs}, "n_seeds": len(runs),
-              "baseline_v120": BASELINE, "mean": {}, "spread": {}, "min": {},
+              "baseline_v120": baseline, "mean": {}, "spread": {}, "min": {},
               "max": {}}
     lines = ["| Metric | " + " | ".join(name for name, _ in runs)
              + " | mean +- spread | reference |",
@@ -62,7 +80,7 @@ def main(argv=None):
         report["spread"][key] = round(half, 4)
         report["min"][key] = min(vals)
         report["max"][key] = max(vals)
-        ref = BASELINE.get(key)
+        ref = baseline.get(key)
         mark = ""
         if ref is not None:
             mark = " **(beats)**" if mean >= ref else f" ({mean - ref:+.4f})"
@@ -70,13 +88,14 @@ def main(argv=None):
             f"| {label} | " + " | ".join(f"{v:.4f}" for v in vals)
             + f" | {mean:.4f} +- {half:.4f} | "
             + (f"{ref:.4f}{mark}" if ref is not None else "--") + " |")
-    if ens is not None:
-        report["ensemble"] = ens
-        lines.append("| cross-seed ensemble | "
-                     + " | ".join("" for _ in runs)
-                     + f" | IoU {ens.get('iou_whole', float('nan')):.4f} / "
-                       f"inst {ens.get('iou_instance_all', float('nan')):.4f} / "
-                       f"Youden {ens.get('youden', float('nan')):.4f} | |")
+    if ensembles:
+        report["ensembles"] = {name: s for name, s in ensembles}
+        for name, ens in ensembles:
+            lines.append(f"| ensemble {name} | "
+                         + " | ".join("" for _ in runs)
+                         + f" | IoU {ens.get('iou_whole', float('nan')):.4f} / "
+                           f"inst {ens.get('iou_instance_all', float('nan')):.4f} / "
+                           f"Youden {ens.get('youden', float('nan')):.4f} | |")
 
     table = "\n".join(lines)
     print(table)
