@@ -49,8 +49,14 @@ def main(argv=None):
     p.add_argument("--gt-suffix", default=None)
     p.add_argument("--limit", type=int, default=0,
                    help="only process the first N images (smoke tests)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (tunnel-outage fallback; the "
+                        "JAX_PLATFORMS env var does not stick on this host)")
     args = p.parse_args(argv)
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from semtpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import numpy as np
