@@ -41,6 +41,8 @@ def main(argv=None):
     p.add_argument("--mode", choices=("mean", "median"), default="mean",
                    help="per-pixel combiner; median is more robust to one "
                         "outlier seed when ensembling 3+ runs")
+    p.add_argument("--no-eval", action="store_true",
+                   help="only write the combined maps, skip the score sweep")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -67,6 +69,9 @@ def main(argv=None):
         Image.fromarray(comb).save(os.path.join(out_dir, stem + "_raw.tif"))
     print(f"{args.mode}-combined {len(stems)} maps from "
           f"{len(args.pred_dirs)} dirs -> {out_dir}")
+
+    if args.no_eval:
+        return 0
 
     import eval_run
     ev = [args.run_dir, "--predictions", out_dir,

@@ -149,3 +149,16 @@ def test_ensemble_eval_averages_float_maps(tmp_path):
     np.testing.assert_allclose(mean[0, 0], 0.05, atol=1e-6)    # (0.0+0.1)/2
     summary = json.loads((run / "eval_summary_ens.json").read_text())
     assert summary["iou_whole"] > 0.95    # mean map segments to the disc
+
+    # median mode (3 inputs, --no-eval): per-pixel median, not mean
+    d3 = run / "p3"; d3.mkdir()
+    for stem in ("im0", "im1"):
+        Image.fromarray(np.where(disc, 0.9, 0.9).astype(np.float32)).save(
+            d3 / f"{stem}_raw.tif")
+    mod.main([str(run), "ens_med", str(d1), str(d2), str(d3),
+              "--gt", str(gt_d), "--mode", "median", "--no-eval"])
+    med = np.array(Image.open(run / "ens_med" / "im0_raw.tif"))
+    assert med.dtype == np.float32
+    np.testing.assert_allclose(med[32, 32], 0.8, atol=1e-6)  # med(0.2,0.8,0.9)
+    np.testing.assert_allclose(med[0, 0], 0.1, atol=1e-6)    # med(0.0,0.1,0.9)
+    assert not (run / "eval_summary_ens_med.json").exists()  # --no-eval
