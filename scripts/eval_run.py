@@ -44,8 +44,14 @@ def main(argv=None):
     p.add_argument("--summary-name", default="eval_summary.json",
                    help="summary file name under RUN_DIR (so variant/"
                         "ensemble scores don't clobber the run's own)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (tunnel-outage fallback; the "
+                        "JAX_PLATFORMS env var does not stick on this host)")
     args = p.parse_args(argv)
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from semtpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     from PIL import Image
