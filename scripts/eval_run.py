@@ -113,7 +113,10 @@ def main(argv=None):
             seg = segment(u8, threshold=float(t_i) * 255.0,
                           apply_watershed=True, min_distance=9,
                           dark_background=True)
-            binary = np.asarray(eight_to_four_connected(seg))
+            from semtpu.ops.morphology import binary_fill_holes
+            filled = binary_fill_holes(seg > 0, connectivity=2)
+            binary = np.asarray(eight_to_four_connected(
+                np.asarray(filled).astype(np.uint8)))
             gt_bin = (gt > 0).astype(np.uint8)
             # ONE classifier forward + labeling per image; thresholds free
             labels, scores = particle_class_scores(clf, img01, binary)

@@ -1,7 +1,8 @@
 """Threshold-sweep evaluation driver (reference `Calculate_Scores.py:176-352`).
 
 For each raw prediction image and each threshold in 0.0..1.0 (step 0.1):
-run the watershed segmentation stack + 4-connectivity fix, then compute
+run the watershed segmentation stack + the protocol's hole filling
+(`Calculate_Scores.py:64`) + 4-connectivity fix, then compute
 whole-image IoU, instance IoU (all / area > 9 px^2), and pixel ROC rates
 against the manual ground truth; report per-threshold averages and the
 best-threshold operating points (incl. Youden's index).
@@ -25,6 +26,7 @@ import numpy as np
 from PIL import Image
 
 from semtpu.ops import segment, eight_to_four_connected
+from semtpu.ops.morphology import binary_fill_holes
 from semtpu.ops.connected import label as cc_label
 from semtpu.eval.metrics import whole_image_iou, roc_rates, instance_iou
 
@@ -39,10 +41,11 @@ NG_CAP = 2048
 
 
 @partial(jax.jit, static_argnames=("do_watershed", "min_distance",
-                                   "instance_min_area"))
+                                   "instance_min_area", "fill_holes"))
 def _sweep_one_image_device(pred_u8, gt_bin, do_watershed: bool = True,
                             min_distance: int = 9,
-                            instance_min_area: float = 9.0):
+                            instance_min_area: float = 9.0,
+                            fill_holes: bool = True):
     """All 11 thresholds of one image on device.
 
     pred_u8: (H, W) uint8 raw map (threshold t scales to t*255 — 1/255
@@ -59,8 +62,14 @@ def _sweep_one_image_device(pred_u8, gt_bin, do_watershed: bool = True,
         seg = segment(pred_u8, threshold=t * 255.0,
                       apply_watershed=do_watershed,
                       min_distance=min_distance, dark_background=True)
-        seg = eight_to_four_connected(seg)
         p = seg > 0
+        if fill_holes and do_watershed:
+            # reference scoring protocol fills holes (3x3 structure) after
+            # watershed-line removal and BEFORE the 8->4 pass
+            # (`Archive/Other Scripts/Calculate_Scores.py:64`); a no-op for
+            # the degenerate constant-mask branch
+            p = binary_fill_holes(p, connectivity=2)
+        p = eight_to_four_connected(p.astype(jnp.uint8)) > 0
 
         inter_px = jnp.sum(p & g)
         iou_w = inter_px / jnp.maximum(jnp.sum(p | g), 1)
@@ -138,13 +147,16 @@ def threshold_sweep(
     min_distance: int = 9,
     instance_min_area: float = 9.0,
     device: bool = True,
+    fill_holes: bool = True,
 ) -> SweepResult:
     """Sweep thresholds over (prediction, ground truth) image pairs.
 
     predictions: raw float maps in [0, 1] (or uint8 /255'd automatically).
     ground_truths: binary masks. `device=False` selects the per-threshold
     host-metric path (uncapped instance counts; kept as the parity oracle
-    for the fused device sweep).
+    for the fused device sweep). fill_holes=True is the reference scoring
+    protocol (`Calculate_Scores.py:64`: binary_fill_holes with a 3x3
+    structure between watershed and the 8->4 pass).
     """
     n_img = len(predictions)
     assert n_img == len(ground_truths) and n_img > 0
@@ -164,7 +176,8 @@ def threshold_sweep(
             m = np.asarray(_sweep_one_image_device(
                 pred_dev, jnp.asarray(gt_bin), do_watershed=do_watershed,
                 min_distance=min_distance,
-                instance_min_area=float(instance_min_area)))
+                instance_min_area=float(instance_min_area),
+                fill_holes=fill_holes))
             acc["iou_whole"] += m[:, 0] / n_img
             acc["iou_all"] += m[:, 1] / n_img
             acc["iou_filt"] += m[:, 2] / n_img
@@ -179,7 +192,11 @@ def threshold_sweep(
             seg = segment(pred_dev, threshold=float(t) * 255.0,
                           apply_watershed=do_watershed,
                           min_distance=min_distance, dark_background=True)
-            seg = np.asarray(eight_to_four_connected(seg))
+            seg_b = seg > 0
+            if fill_holes and do_watershed:
+                seg_b = binary_fill_holes(seg_b, connectivity=2)
+            seg = np.asarray(eight_to_four_connected(
+                seg_b.astype(jnp.uint8)))
             seg_bin = (seg > 0).astype(np.uint8)
 
             acc["iou_whole"][ti] += float(whole_image_iou(seg_bin, gt_bin)) / n_img

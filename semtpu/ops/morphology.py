@@ -86,12 +86,16 @@ def binary_opening(mask: jax.Array, size: int = 9) -> jax.Array:
     return _dilate_square(_erode_square(mask.astype(bool), size), size)
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def binary_fill_holes(mask: jax.Array, max_iter: int = 4096) -> jax.Array:
+@partial(jax.jit, static_argnames=("max_iter", "connectivity"))
+def binary_fill_holes(mask: jax.Array, max_iter: int = 4096,
+                      connectivity: int = 1) -> jax.Array:
     """Fill holes = background not reachable from the border.
 
     Flood the complement from the image border with a bounded while-loop of
-    4-connected dilations masked to the background.
+    dilations masked to the background. connectivity=1 is scipy's default
+    cross structure; connectivity=2 is `structure=np.ones((3, 3))` — the
+    8-connected background used by the reference scoring protocol
+    (`Archive/Other Scripts/Calculate_Scores.py:64`).
     """
     m = mask.astype(bool)
     h, w = m.shape
@@ -105,7 +109,7 @@ def binary_fill_holes(mask: jax.Array, max_iter: int = 4096) -> jax.Array:
 
     def body(state):
         reach, _, it = state
-        new = _dilate_once(reach, cross=True) & bg
+        new = _dilate_once(reach, cross=(connectivity == 1)) & bg
         return new, jnp.any(new != reach), it + 1
 
     reach, _, _ = jax.lax.while_loop(cond, body, (seed, jnp.bool_(True), 0))

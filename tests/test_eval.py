@@ -68,6 +68,27 @@ def test_threshold_sweep_recovers_gt():
     assert res.iou_whole[0] < 0.2  # t=0: everything foreground
 
 
+def test_sweep_fill_holes_protocol():
+    """The sweep must fill interior holes like the reference scoring stack
+    (`Calculate_Scores.py:64`): a disk prediction with a small interior
+    hole, scored against the full-disk GT, recovers the hole's pixels with
+    fill_holes=True and not without. (A hole cut by watershed lines leaks
+    to the outer background and correctly stays unfilled — in the
+    reference protocol too — so the construction keeps one basin.)"""
+    ys, xs = np.mgrid[:96, :96]
+    d2 = (ys - 48) ** 2 + (xs - 48) ** 2
+    gt = (d2 <= 30 ** 2).astype(np.uint8)
+    hole = ((ys - 48) ** 2 + (xs - 58) ** 2) <= 3 ** 2
+    pred = ((d2 <= 30 ** 2) & ~hole).astype(np.float32) * 0.7 + 0.1
+
+    filled = threshold_sweep([pred], [gt], do_watershed=True)
+    unfilled = threshold_sweep([pred], [gt], do_watershed=True,
+                               fill_holes=False)
+    # the hole is ~29 px of the ~2830 px disk: fill recovers ~0.01 IoU
+    assert filled.best_iou_whole[0] > unfilled.best_iou_whole[0] + 0.005
+    assert filled.best_iou_whole[0] > 0.95
+
+
 def test_rand_error_and_voi_identity():
     from semtpu.eval.metrics import rand_error, variation_of_information, pixel_error
     img = np.zeros((48, 48), np.uint8)

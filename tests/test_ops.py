@@ -115,6 +115,26 @@ def test_fill_holes_matches_scipy(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fill_holes_8connected_matches_scipy(rng):
+    """connectivity=2 must match scipy's structure=np.ones((3, 3)) — the
+    reference scoring protocol (`Calculate_Scores.py:64`). Includes a hole
+    that leaks out only through a diagonal background gap, where the 4- and
+    8-connected results genuinely differ."""
+    m = blobs(rng)
+    m[20:24, 30:34] = False
+    # diagonal leak: interior hole touching the outside only corner-to-corner
+    m[40:46, 40:46] = True
+    m[42:44, 42:44] = False          # hole
+    m[39, 39] = m[41, 41] = True     # pinch a diagonal background channel
+    m[40, 40] = False                # bg pixel diagonal to the hole
+    got4 = np.asarray(binary_fill_holes(m, connectivity=1))
+    got8 = np.asarray(binary_fill_holes(m, connectivity=2))
+    want4 = ndi.binary_fill_holes(m)
+    want8 = ndi.binary_fill_holes(m, structure=np.ones((3, 3)))
+    np.testing.assert_array_equal(got4, want4)
+    np.testing.assert_array_equal(got8, want8)
+
+
 # ---------- eight_to_four ----------
 
 def oracle_eight_to_four(img):
