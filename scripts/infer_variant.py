@@ -35,6 +35,9 @@ def main(argv=None):
                    help="a 3_UNet/Models/<stamp> dir (or a direct checkpoint dir)")
     p.add_argument("out_name", help="output dir name under RUN_DIR")
     p.add_argument("--tta", action="store_true")
+    p.add_argument("--tta-dihedral", action="store_true",
+                   help="average over the full 8-element dihedral group "
+                        "(4 flips x 90-degree rotation) instead of 4 flips")
     p.add_argument("--tiled", action="store_true",
                    help="tile 384x384 instead of whole-image forward; the "
                         "pipeline default is WHOLE-image "
@@ -85,9 +88,11 @@ def main(argv=None):
     trainer.run_inference(images, files, out_dir,
                           tile_images=args.tiled,
                           zero_bottom_rows=args.metadata_bar_rows,
-                          tta_flips=args.tta)
+                          tta_flips=args.tta,
+                          tta_dihedral=args.tta_dihedral)
     print(f"wrote {len(files)} predictions -> {out_dir} "
-          f"(tta={args.tta}, tiled={args.tiled})")
+          f"(tta={args.tta}, dihedral={args.tta_dihedral}, "
+          f"tiled={args.tiled})")
 
     if args.no_eval or args.limit:
         if args.limit and not args.no_eval:

@@ -110,6 +110,8 @@ class PipelineConfig:
     # over the 4-flip group at inference (matches the trainer's x4 flip
     # augmentation set); default off = reference behavior
     unet_tta_flips: bool = False
+    # full 8-element dihedral group (4 flips x 90-degree rotation)
+    unet_tta_dihedral: bool = False
     unet_watershed_lines: bool = True
     unet_min_distance: int = 9
     min_overlap: int = 2

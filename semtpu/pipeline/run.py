@@ -457,7 +457,8 @@ class Pipeline:
                               min_overlap=cfg.min_overlap,
                               manage_overlap_mode=cfg.manage_overlap_mode,
                               zero_bottom_rows=cfg.metadata_bar_rows,
-                              tta_flips=cfg.unet_tta_flips)
+                              tta_flips=cfg.unet_tta_flips,
+                              tta_dihedral=cfg.unet_tta_dihedral)
 
     # ------------------------------------------------------------- step 7
     def step_7_classify_and_measure(self):

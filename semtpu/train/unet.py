@@ -517,30 +517,41 @@ class UNetTrainer:
 
     def predict_image(self, image: np.ndarray, tile_images: bool = True,
                       min_overlap: int = 2, manage_overlap_mode: int = 2,
-                      tta_flips: bool = False) -> np.ndarray:
+                      tta_flips: bool = False,
+                      tta_dihedral: bool = False) -> np.ndarray:
         """Raw sigmoid map for one (H, W, 1) image, tiled or whole.
 
         `tta_flips=True` averages the map over the 4-element flip group
         (identity / horizontal / vertical / both) — test-time augmentation
         matching the x4 flip set the trainer augments with
-        (`UNet_Segmentation.py` flip augmentation). Extra capability beyond
-        the reference (which predicts once); default off.
+        (`UNet_Segmentation.py` flip augmentation). `tta_dihedral=True`
+        extends to the full 8-element dihedral group (the 4 flips composed
+        with a 90-degree rotation); non-square images recompile the forward
+        once for the transposed shape. Extra capability beyond the
+        reference (which predicts once); default off.
         """
         if image.ndim == 2:
             image = image[:, :, None]
-        if not tta_flips:
+        if not (tta_flips or tta_dihedral):
             return self._predict_once(image, tile_images, min_overlap,
                                       manage_overlap_mode)
-        acc = None
-        for fh, fv in ((False, False), (True, False), (False, True), (True, True)):
-            view = image[:, ::-1] if fh else image
-            view = view[::-1] if fv else view
-            out = self._predict_once(np.ascontiguousarray(view), tile_images,
-                                     min_overlap, manage_overlap_mode)
-            out = out[:, ::-1] if fh else out
-            out = out[::-1] if fv else out
-            acc = out if acc is None else acc + out
-        return acc / 4.0
+        rots = (0, 1) if tta_dihedral else (0,)
+        acc, n = None, 0
+        for k in rots:
+            base = np.rot90(image, k, axes=(0, 1))
+            for fh, fv in ((False, False), (True, False),
+                           (False, True), (True, True)):
+                view = base[:, ::-1] if fh else base
+                view = view[::-1] if fv else view
+                out = self._predict_once(np.ascontiguousarray(view),
+                                         tile_images, min_overlap,
+                                         manage_overlap_mode)
+                out = out[:, ::-1] if fh else out
+                out = out[::-1] if fv else out
+                out = np.rot90(out, -k, axes=(0, 1))
+                acc = out if acc is None else acc + out
+                n += 1
+        return acc / float(n)
 
     def _predict_once(self, image: np.ndarray, tile_images: bool,
                       min_overlap: int, manage_overlap_mode: int) -> np.ndarray:
@@ -561,7 +572,8 @@ class UNetTrainer:
                       min_distance: int = 9, min_overlap: int = 2,
                       manage_overlap_mode: int = 2,
                       zero_bottom_rows: int = 0,
-                      tta_flips: bool = False) -> list[np.ndarray]:
+                      tta_flips: bool = False,
+                      tta_dihedral: bool = False) -> list[np.ndarray]:
         """Full inference + instance postprocessing for a batch of images.
 
         Saves `<stem>_raw.tif` (raw float map) and `<stem>.tif` (binary
@@ -577,7 +589,8 @@ class UNetTrainer:
             raw = self.predict_image(images[i], tile_images=tile_images,
                                      min_overlap=min_overlap,
                                      manage_overlap_mode=manage_overlap_mode,
-                                     tta_flips=tta_flips)[:, :, 0]
+                                     tta_flips=tta_flips,
+                                     tta_dihedral=tta_dihedral)[:, :, 0]
             if zero_bottom_rows > 0:
                 raw = raw.copy()
                 raw[raw.shape[0] - zero_bottom_rows:] = 0.0

@@ -108,6 +108,23 @@ def test_tta_flips_is_flip_equivariant(trained):
     assert base.min() >= 0.0 and base.max() <= 1.0
 
 
+def test_tta_dihedral_is_rot90_equivariant(trained):
+    """Averaging over the full 8-element dihedral group makes the
+    prediction exactly equivariant to 90-degree input rotations (which the
+    4-flip group is NOT): predict(rot90(x)) == rot90(predict(x))."""
+    trainer, _, (imgs, _) = trained
+    x = imgs[0]
+    base = trainer.predict_image(x, tile_images=False, tta_dihedral=True)
+    rot = trainer.predict_image(np.ascontiguousarray(np.rot90(x, axes=(0, 1))),
+                                tile_images=False, tta_dihedral=True)
+    np.testing.assert_allclose(np.asarray(np.rot90(rot, -1, axes=(0, 1))),
+                               np.asarray(base), atol=1e-5)
+    # flip-TTA of this asymmetric net is not rot90-equivariant — the
+    # dihedral average is a strictly larger symmetrization
+    flips = trainer.predict_image(x, tile_images=False, tta_flips=True)
+    assert not np.allclose(flips, base)
+
+
 def test_checkpoint_roundtrip(tmp_path, trained):
     trainer, _, (imgs, _) = trained
     p = str(tmp_path / "ckpt")
