@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (tunnel-outage fallback; the "
                         "JAX_PLATFORMS env var does not stick on this host)")
+    p.add_argument("--fine", action="store_true",
+                   help="beyond-parity: after the protocol's 0.1-step sweep, "
+                        "refine each best threshold on a 0.01-step grid "
+                        "(+-0.05 around each coarse optimum; ~3x the sweep "
+                        "cost — intended for the TPU backend) and report "
+                        "'fine_*' keys alongside the protocol numbers")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -89,6 +95,29 @@ def main(argv=None):
         "baseline_v120": {"iou_whole": 0.8762, "iou_instance": 0.5750,
                           "youden": 0.9120},
     }
+
+    if args.fine:
+        cand = set()
+        for t0 in (t_w, t_i, t_f, t_y):
+            for k in range(-5, 6):
+                t = round(t0 + 0.01 * k, 2)
+                if 0.0 <= t <= 1.0:
+                    cand.add(t)
+        fine = threshold_sweep(preds, gts, do_watershed=True,
+                               thresholds=sorted(cand))
+        # fine grids include each coarse optimum, so fine best >= coarse best
+        fw, fwt = fine.best_iou_whole
+        fi, fit = fine.best_iou_instance
+        ff, fft = fine.best_iou_instance_filtered
+        fy, fyt = fine.best_youden
+        summary.update({
+            "fine_iou_whole": round(fw, 4), "fine_iou_whole_t": fwt,
+            "fine_iou_instance_all": round(fi, 4),
+            "fine_iou_instance_all_t": fit,
+            "fine_iou_instance_gt9px": round(ff, 4),
+            "fine_iou_instance_gt9px_t": fft,
+            "fine_youden": round(fy, 4), "fine_youden_t": fyt,
+        })
 
     if args.classifier:
         from semtpu.classify import _load_classifier, particle_class_scores

@@ -42,16 +42,19 @@ NG_CAP = 2048
 
 @partial(jax.jit, static_argnames=("do_watershed", "min_distance",
                                    "instance_min_area", "fill_holes"))
-def _sweep_one_image_device(pred_u8, gt_bin, do_watershed: bool = True,
+def _sweep_one_image_device(pred_u8, gt_bin, thresholds,
+                            do_watershed: bool = True,
                             min_distance: int = 9,
                             instance_min_area: float = 9.0,
                             fill_holes: bool = True):
-    """All 11 thresholds of one image on device.
+    """All thresholds of one image on device.
 
     pred_u8: (H, W) uint8 raw map (threshold t scales to t*255 — 1/255
     quantization is below the sweep's 0.1 step). gt_bin: (H, W) {0,1}.
-    Returns (11, 7) float32: [iou_whole, iou_inst_all, iou_inst_filtered,
-    tpr, tnr, fpr, fnr] per threshold.
+    thresholds: (T,) float32 in [0, 1] — traced, so any grid reuses ONE
+    compiled executable per grid LENGTH. Returns (T, 7) float32:
+    [iou_whole, iou_inst_all, iou_inst_filtered, tpr, tnr, fpr, fnr]
+    per threshold.
     """
     gl, n_g = cc_label(gt_bin > 0, connectivity=1)
     gl = jnp.minimum(gl, NG_CAP)
@@ -104,7 +107,7 @@ def _sweep_one_image_device(pred_u8, gt_bin, do_watershed: bool = True,
             tp / pos, tn / neg, fp / neg, fn / pos,
         ])
 
-    return jax.lax.map(one_threshold, jnp.asarray(THRESHOLDS, jnp.float32))
+    return jax.lax.map(one_threshold, jnp.asarray(thresholds, jnp.float32))
 
 
 @dataclass
@@ -148,6 +151,7 @@ def threshold_sweep(
     instance_min_area: float = 9.0,
     device: bool = True,
     fill_holes: bool = True,
+    thresholds: list[float] | None = None,
 ) -> SweepResult:
     """Sweep thresholds over (prediction, ground truth) image pairs.
 
@@ -156,11 +160,16 @@ def threshold_sweep(
     host-metric path (uncapped instance counts; kept as the parity oracle
     for the fused device sweep). fill_holes=True is the reference scoring
     protocol (`Calculate_Scores.py:64`: binary_fill_holes with a 3x3
-    structure between watershed and the 8->4 pass).
+    structure between watershed and the 8->4 pass). thresholds defaults to
+    the protocol's 0.0..1.0 step-0.1 grid; a custom grid (e.g. a fine
+    refinement around a coarse optimum) is a beyond-parity extension —
+    grids finer than 1/255 are quantized by the uint8 upload.
     """
     n_img = len(predictions)
     assert n_img == len(ground_truths) and n_img > 0
-    acc = {k: np.zeros(len(THRESHOLDS)) for k in
+    thresholds = list(THRESHOLDS) if thresholds is None else \
+        [float(t) for t in thresholds]
+    acc = {k: np.zeros(len(thresholds)) for k in
            ("iou_whole", "iou_all", "iou_filt", "tpr", "tnr", "fpr", "fnr", "youden")}
 
     for pred, gt in zip(predictions, ground_truths):
@@ -174,7 +183,9 @@ def threshold_sweep(
 
         if device:
             m = np.asarray(_sweep_one_image_device(
-                pred_dev, jnp.asarray(gt_bin), do_watershed=do_watershed,
+                pred_dev, jnp.asarray(gt_bin),
+                jnp.asarray(thresholds, jnp.float32),
+                do_watershed=do_watershed,
                 min_distance=min_distance,
                 instance_min_area=float(instance_min_area),
                 fill_holes=fill_holes))
@@ -188,7 +199,7 @@ def threshold_sweep(
             acc["youden"] += (m[:, 3] + m[:, 4] - 1.0) / n_img
             continue
 
-        for ti, t in enumerate(THRESHOLDS):
+        for ti, t in enumerate(thresholds):
             seg = segment(pred_dev, threshold=float(t) * 255.0,
                           apply_watershed=do_watershed,
                           min_distance=min_distance, dark_background=True)
@@ -210,6 +221,7 @@ def threshold_sweep(
             acc["youden"][ti] += (tpr + tnr - 1.0) / n_img
 
     return SweepResult(
+        thresholds=thresholds,
         iou_whole=acc["iou_whole"], iou_instance_all=acc["iou_all"],
         iou_instance_filtered=acc["iou_filt"], tpr=acc["tpr"], tnr=acc["tnr"],
         fpr=acc["fpr"], fnr=acc["fnr"], youden=acc["youden"],

@@ -89,6 +89,27 @@ def test_sweep_fill_holes_protocol():
     assert filled.best_iou_whole[0] > 0.95
 
 
+def test_sweep_custom_threshold_grid():
+    """A custom (fine) grid must evaluate exactly those thresholds and
+    agree with the default grid where they overlap — the basis of the
+    --fine refinement in eval_run."""
+    ys, xs = np.mgrid[:64, :64]
+    gt = (((ys - 32) ** 2 + (xs - 32) ** 2) <= 20 ** 2).astype(np.uint8)
+    pred = gt.astype(np.float32) * 0.8 + 0.1
+
+    coarse = threshold_sweep([pred], [gt], do_watershed=True)
+    fine = threshold_sweep([pred], [gt], do_watershed=True,
+                           thresholds=[0.35, 0.5, 0.62, 0.7])
+    assert fine.thresholds == [0.35, 0.5, 0.62, 0.7]
+    assert fine.iou_whole.shape == (4,)
+    i_c = coarse.thresholds.index(0.5)
+    i_f = fine.thresholds.index(0.5)
+    np.testing.assert_allclose(fine.iou_whole[i_f], coarse.iou_whole[i_c],
+                               atol=1e-6)
+    np.testing.assert_allclose(fine.youden[i_f], coarse.youden[i_c],
+                               atol=1e-6)
+
+
 def test_rand_error_and_voi_identity():
     from semtpu.eval.metrics import rand_error, variation_of_information, pixel_error
     img = np.zeros((48, 48), np.uint8)
