@@ -43,6 +43,9 @@ def main(argv=None):
                         "outlier seed when ensembling 3+ runs")
     p.add_argument("--no-eval", action="store_true",
                    help="only write the combined maps, skip the score sweep")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend for the score sweep "
+                        "(tunnel-outage fallback)")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -76,6 +79,8 @@ def main(argv=None):
     import eval_run
     ev = [args.run_dir, "--predictions", out_dir,
           "--summary-name", f"eval_summary_{args.out_name}.json"]
+    if args.cpu:
+        ev += ["--cpu"]
     if args.gt:
         ev += ["--gt", args.gt]
     if args.gt_suffix is not None:
