@@ -64,8 +64,11 @@ def main(argv=None):
         def chunk():
             s, m = tr.train_steps_scan(tr.state, dev_a, dev_b, ia, ib, ks)
             tr.state = s
-            jax.block_until_ready(m)
-            return m
+            # synchronize via a host transfer: on the tunneled axon platform
+            # block_until_ready() returns before execution finishes (measured
+            # 0 ms/step for a 27-TFLOP step), while a device->host fetch of
+            # the metrics cannot complete early.
+            return np.asarray(m)
 
         t0 = time.time()
         chunk()                                   # compile + warm
