@@ -37,6 +37,13 @@ def main(argv=None):
                         "classifier forward per image; writes "
                         "classifier_threshold_sweep.csv), e.g. "
                         "'0.05,0.1,0.15,0.2,0.3,0.4,0.5'")
+    p.add_argument("--classifier-calibrate", action="store_true",
+                   help="leak-free calibration: split the GT images into two "
+                        "interleaved halves, pick the best sweep threshold on "
+                        "one half, report the filtered-vs-unfiltered gain on "
+                        "the OTHER half (both directions; writes "
+                        "classifier_calibration.json). Requires "
+                        "--classifier-sweep")
     p.add_argument("--predictions", default=None,
                    help="default: RUN_DIR/Output_Masks_UNet")
     p.add_argument("--gt-suffix", default="_m",
@@ -130,6 +137,8 @@ def main(argv=None):
                                 | {args.classifier_threshold})
         tot_all = {t: 0.0 for t in thresholds}
         tot_f = {t: 0.0 for t in thresholds}
+        per_img_all = {t: [] for t in thresholds}   # for --classifier-calibrate
+        per_img_unfiltered = []
         for g, raw, gt in zip(gt_files, preds, gts):
             stem = g[:-len(end)]
             img = np.array(Image.open(os.path.join(sem_dir, stem + ".tif")),
@@ -149,6 +158,7 @@ def main(argv=None):
             gt_bin = (gt > 0).astype(np.uint8)
             # ONE classifier forward + labeling per image; thresholds free
             labels, scores = particle_class_scores(clf, img01, binary)
+            per_img_unfiltered.append(instance_iou(binary, gt_bin, 0.0))
             for t in thresholds:
                 if scores is None:
                     filt = np.zeros_like(binary, np.uint8)
@@ -156,9 +166,43 @@ def main(argv=None):
                     keep = scores >= t
                     keep[0] = False
                     filt = keep[labels].astype(np.uint8)
-                tot_all[t] += instance_iou(filt, gt_bin, 0.0)
+                v = instance_iou(filt, gt_bin, 0.0)
+                per_img_all[t].append(v)
+                tot_all[t] += v
                 tot_f[t] += instance_iou(filt, gt_bin, 9.0)
         n_img = len(preds)
+        if args.classifier_calibrate and args.classifier_sweep:
+            # leak-free: interleaved halves (both sample the whole set);
+            # threshold chosen on one half, gain measured on the other —
+            # the reference plugin ships a FIXED 0.5
+            # (Predict_Classes_And_Measure.py:286-288); this shows what a
+            # calibrated threshold buys without fitting on the scored set
+            halves = ([i for i in range(n_img) if i % 2 == 0],
+                      [i for i in range(n_img) if i % 2 == 1])
+            calib = {"thresholds": thresholds, "folds": []}
+            gains = []
+            for fit_idx, rep_idx in (halves, halves[::-1]):
+                mean_fit = {t: float(np.mean([per_img_all[t][i]
+                                              for i in fit_idx]))
+                            for t in thresholds}
+                t_star = max(thresholds, key=lambda t: mean_fit[t])
+                rep_filt = float(np.mean([per_img_all[t_star][i]
+                                          for i in rep_idx]))
+                rep_unf = float(np.mean([per_img_unfiltered[i]
+                                         for i in rep_idx]))
+                calib["folds"].append({
+                    "chosen_threshold": t_star,
+                    "heldout_iou_instance_filtered": round(rep_filt, 4),
+                    "heldout_iou_instance_unfiltered": round(rep_unf, 4),
+                    "heldout_gain": round(rep_filt - rep_unf, 4)})
+                gains.append(rep_filt - rep_unf)
+            calib["mean_heldout_gain"] = round(float(np.mean(gains)), 4)
+            calib_out = os.path.join(args.run_dir,
+                                     "classifier_calibration.json")
+            with open(calib_out, "w") as fh:
+                json.dump(calib, fh, indent=1)
+            summary["classifier_calibration"] = calib
+            print(f"-> {calib_out}")
         if args.classifier_sweep:
             sweep_csv = os.path.join(args.run_dir,
                                      "classifier_threshold_sweep.csv")

@@ -11,6 +11,16 @@ exceeded physical peak). This script measures instead of estimating:
 2. records XLA cost analysis (flops, bytes accessed) per variant,
 3. optionally captures a jax.profiler trace (--trace DIR) for inspection.
 
+Each mode runs in its OWN subprocess: a fresh process releases all device
+buffers and jit executables between variants (a single-process sweep
+accumulated enough live HBM to RESOURCE_EXHAUST the chip on mode 3).
+
+Timing is a dependency chain: N chunks dispatched back-to-back (each
+consumes the previous chunk's donated state), one fetch at the end.
+Per-chunk fetches measured 0 ms on the tunneled axon platform — small
+outputs appear to be streamed before execution completes — while a chain
+bounded by one final fetch cannot finish early.
+
 Writes a JSON report to stdout and PROFILE_CYCLEGAN.json in the repo root.
 
 Usage: python scripts/profile_cyclegan.py [--iters 3] [--modes none,blocks,full]
@@ -20,12 +30,84 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
+
+
+def run_mode(mode: str, iters: int, K: int, trace: str | None) -> dict:
+    from semtpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from semtpu.train.cyclegan import CycleGANTrainer, CycleGANConfig
+    from semtpu.data.dataset import as_device_images
+
+    bs = 5
+    rng = np.random.default_rng(0)
+    a = (rng.random((40, 384, 384)) * 255).astype(np.uint8)
+    b = ((rng.random((40, 384, 384)) > 0.7) * 255).astype(np.uint8)
+
+    tr = CycleGANTrainer(CycleGANConfig(scan_steps=K, remat=mode))
+    tr.create_state(steps_per_epoch=32)
+    dev_a = as_device_images(a, tr.mesh, dict(normalization_range=(-1, 1)))
+    dev_b = as_device_images(b, tr.mesh,
+                             dict(normalization_range=(-1, 1), threshold=0.5))
+    ia = jnp.asarray(rng.integers(0, 40, (K, bs)))
+    ib = jnp.asarray(rng.integers(0, 40, (K, bs)))
+    ks = jnp.asarray(rng.integers(0, 2**32, (K, 2), dtype=np.uint32))
+
+    def chunk():
+        s, m = tr.train_steps_scan(tr.state, dev_a, dev_b, ia, ib, ks)
+        tr.state = s
+        return m
+
+    t0 = time.time()
+    m = chunk()
+    np.asarray(m)                 # force completion of the warm-up chunk
+    compile_s = time.time() - t0
+
+    # timed chain: each chunk depends on the previous state; one fetch at
+    # the end bounds the whole chain (device execution is serial anyway)
+    t0 = time.time()
+    for _ in range(iters):
+        m = chunk()
+    np.asarray(m)
+    total = time.time() - t0
+    dt = total / (iters * K)
+    entry = {"s_per_step": round(dt, 4), "compile_s": round(compile_s, 1),
+             "iters": iters, "scan_steps": K,
+             "device": str(jax.devices()[0])}
+
+    try:
+        # reuse the SAME jit target (static self is arg 0) so cost analysis
+        # hits the existing executable instead of compiling a second one
+        lowered = type(tr).train_steps_scan.lower(
+            tr, tr.state, dev_a, dev_b, ia, ib, ks)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        entry["flops_per_step"] = cost.get("flops", 0) / K
+        entry["bytes_per_step"] = cost.get("bytes accessed", 0) / K
+        entry["tflops_per_s"] = round(entry["flops_per_step"] / dt / 1e12, 1)
+        entry["apparent_tb_per_s"] = round(
+            entry["bytes_per_step"] / dt / 1e12, 3)
+    except Exception as e:           # noqa: BLE001 - report, don't die
+        entry["cost_analysis_error"] = str(e)
+
+    if trace:
+        try:
+            with jax.profiler.trace(trace):
+                np.asarray(chunk())
+            entry["trace_dir"] = trace
+        except Exception as e:       # noqa: BLE001
+            entry["trace_error"] = str(e)
+    return entry
 
 
 def main(argv=None):
@@ -34,89 +116,44 @@ def main(argv=None):
     p.add_argument("--scan-steps", type=int, default=8)
     p.add_argument("--modes", default="none,blocks,full")
     p.add_argument("--trace", default=None,
-                   help="capture a jax.profiler trace of the 'none' step")
+                   help="capture a jax.profiler trace of that mode's step")
+    p.add_argument("--single", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--out", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
-    from semtpu.utils.cache import enable_compile_cache
-    enable_compile_cache()
-    import jax
-    import jax.numpy as jnp
-    from semtpu.train.cyclegan import CycleGANTrainer, CycleGANConfig
-    from semtpu.data.dataset import as_device_images
+    if args.single:                   # child: one mode, write partial JSON
+        entry = run_mode(args.single, args.iters, args.scan_steps, args.trace)
+        with open(args.out, "w") as fh:
+            json.dump(entry, fh)
+        print(f"remat={args.single}: {entry['s_per_step']*1000:.0f} ms/step "
+              f"(compile {entry['compile_s']:.0f}s)", flush=True)
+        return
 
-    K, bs = args.scan_steps, 5
-    rng = np.random.default_rng(0)
-    a = (rng.random((40, 384, 384)) * 255).astype(np.uint8)
-    b = ((rng.random((40, 384, 384)) > 0.7) * 255).astype(np.uint8)
-
-    report = {"device": str(jax.devices()[0]), "scan_steps": K, "batch": bs}
-
+    report = {"scan_steps": args.scan_steps, "batch": 5}
     for mode in args.modes.split(","):
-        tr = CycleGANTrainer(CycleGANConfig(scan_steps=K, remat=mode))
-        tr.create_state(steps_per_epoch=32)
-        dev_a = as_device_images(a, tr.mesh, dict(normalization_range=(-1, 1)))
-        dev_b = as_device_images(b, tr.mesh,
-                                 dict(normalization_range=(-1, 1), threshold=0.5))
-        ia = jnp.asarray(rng.integers(0, 40, (K, bs)))
-        ib = jnp.asarray(rng.integers(0, 40, (K, bs)))
-        ks = jnp.asarray(rng.integers(0, 2**32, (K, 2), dtype=np.uint32))
-
-        def chunk():
-            s, m = tr.train_steps_scan(tr.state, dev_a, dev_b, ia, ib, ks)
-            tr.state = s
-            # synchronize via a host transfer: on the tunneled axon platform
-            # block_until_ready() returns before execution finishes (measured
-            # 0 ms/step for a 27-TFLOP step), while a device->host fetch of
-            # the metrics cannot complete early.
-            return np.asarray(m)
-
-        t0 = time.time()
-        chunk()                                   # compile + warm
-        compile_s = time.time() - t0
-        times = []
-        for _ in range(args.iters):
-            t0 = time.time()
-            chunk()
-            times.append(time.time() - t0)
-        dt = min(times) / K
-        entry = {"s_per_step": round(dt, 4), "compile_s": round(compile_s, 1)}
-        try:
-            lowered = jax.jit(lambda s, a_, b_, k: tr.train_steps_scan(
-                s, dev_a, dev_b, a_, b_, k)).lower(tr.state, ia, ib, ks)
-            cost = lowered.compile().cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0]
-            entry["flops_per_step"] = cost.get("flops", 0) / K
-            entry["bytes_per_step"] = cost.get("bytes accessed", 0) / K
-            entry["tflops_per_s"] = round(entry["flops_per_step"] / dt / 1e12, 1)
-            entry["apparent_tb_per_s"] = round(
-                entry["bytes_per_step"] / dt / 1e12, 3)
-        except Exception as e:           # noqa: BLE001 - report, don't die
-            entry["cost_analysis_error"] = str(e)
-        report[f"remat_{mode}"] = entry
-        print(f"remat={mode}: {dt*1000:.0f} ms/step "
-              f"(compile {compile_s:.0f}s)", flush=True)
-
-        if args.trace and mode == "none":
-            try:
-                with jax.profiler.trace(args.trace):
-                    chunk()
-                entry["trace_dir"] = args.trace
-            except Exception as e:       # noqa: BLE001
-                entry["trace_error"] = str(e)
+        out = f"/tmp/profile_cyclegan_{mode}.json"
+        cmd = [sys.executable, os.path.abspath(__file__), "--single", mode,
+               "--iters", str(args.iters), "--scan-steps",
+               str(args.scan_steps), "--out", out]
+        if args.trace:
+            cmd += ["--trace", os.path.join(args.trace, mode)]
+        r = subprocess.run(cmd, timeout=3600)
+        if r.returncode == 0 and os.path.exists(out):
+            with open(out) as fh:
+                report[f"remat_{mode}"] = json.load(fh)
+        else:
+            report[f"remat_{mode}"] = {"error": f"rc={r.returncode}"}
 
     base = report.get("remat_none", {}).get("s_per_step")
     for mode in ("blocks", "full"):
         e = report.get(f"remat_{mode}")
-        if e and base:
+        if e and base and "s_per_step" in e:
             e["speedup_vs_none"] = round(base / e["s_per_step"], 3)
 
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PROFILE_CYCLEGAN.json")
-    with open(out, "w") as fh:
+    with open(os.path.join(REPO, "PROFILE_CYCLEGAN.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
-    print(f"-> {out}")
+    print("-> PROFILE_CYCLEGAN.json")
 
 
 if __name__ == "__main__":

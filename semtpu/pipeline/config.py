@@ -65,6 +65,11 @@ class PipelineConfig:
     # toward sparse/washed-out renders that the Li filter rejects —
     # keep-rate 0.50 @ep20 vs 0.30 @ep50 measured in round 2, RESULTS.md)
     cyclegan_checkpoint: str | None = None
+    # activation remat in the CycleGAN generators' backward passes
+    # ("none" | "blocks" | "full"); a pure performance knob — set from the
+    # measured roofline experiment (PROFILE_CYCLEGAN.json), quality config
+    # unchanged
+    cyclegan_remat: str = "none"
     # auto-resume an interrupted step-3 run: if the latest CycleGAN run dir
     # has checkpoints_* but no final `model/`, reload the newest checkpoint
     # (exact state: optimizer moments, pools, step, schedule geometry) and

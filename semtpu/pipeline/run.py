@@ -192,6 +192,7 @@ class Pipeline:
             lambda_identity_b=cfg.cyclegan_lambda_identity_b,
             invert_images=cfg.invert_images,
             stream_from_host=cfg.use_dataloader,
+            remat=cfg.cyclegan_remat,
             seed=cfg.seed)
         return CycleGANTrainer(ccfg, mesh=self.mesh)
 
@@ -529,7 +530,16 @@ class Pipeline:
                 print(f"Step {s}: already completed, skipping "
                       f"(skip_completed_steps)")
                 continue
+            t0 = time.time()
             getattr(self, self.STEPS[s])()
+            dt = time.time() - t0
+            # per-step wall clock, appended so resumed runs keep history
+            # (reference only prints start/end stamps, StartProcess.py:179,221)
+            with open(os.path.join(self.cfg.root_dir, "timings.txt"),
+                      "a") as fh:
+                fh.write(f"{datetime.now():%Y-%m-%d %H:%M:%S} step {s} "
+                         f"{dt:.1f} s\n")
+            print(f"Step {s} took {dt:.1f} s")
             if self.cfg.skip_completed_steps:
                 with open(marker, "a") as fh:
                     fh.write(s + "\n")
