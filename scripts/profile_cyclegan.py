@@ -92,8 +92,11 @@ def run_mode(mode: str, iters: int, K: int, trace: str | None) -> dict:
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        entry["flops_per_step"] = cost.get("flops", 0) / K
-        entry["bytes_per_step"] = cost.get("bytes accessed", 0) / K
+        # XLA cost analysis counts a lax.scan body ONCE regardless of trip
+        # count, so the whole-chunk cost already IS the per-step cost (plus
+        # negligible prologue) — do NOT divide by K
+        entry["flops_per_step"] = cost.get("flops", 0)
+        entry["bytes_per_step"] = cost.get("bytes accessed", 0)
         entry["tflops_per_s"] = round(entry["flops_per_step"] / dt / 1e12, 1)
         entry["apparent_tb_per_s"] = round(
             entry["bytes_per_step"] / dt / 1e12, 3)
