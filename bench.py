@@ -90,7 +90,11 @@ def bench_unet_inference(jax, jnp, details):
     # scalar-output forwards so one host fetch fences the whole computation
     fwd = jax.jit(lambda v, x: jnp.sum(model.apply(v, x, train=False)))
 
-    BATCH = 72   # 9 tiles/image x 8 images
+    # 9 tiles/image x 32 images; the PROFILE_UNET.json batch sweep measured
+    # 605 tiles/s at 288 vs 427 at the previous 72 (throughput is HBM-
+    # traffic-bound per tile, but larger batches amortize layout-padding
+    # waste on the 16-channel stages)
+    BATCH = 288
     xb = jnp.asarray(np.random.default_rng(0).random((BATCH, 384, 384, 1)),
                      jnp.float32)
 

@@ -120,35 +120,55 @@ def main():
 
     imgs = (rng.random((40, 384, 384)) * 255).astype(np.uint8)
     masks = ((rng.random((40, 384, 384)) > 0.7) * 255).astype(np.uint8)
-    out["train_batch_sweep"] = {}
-    K = 8
-    for bs in (5, 10, 20):
-        tr = UNetTrainer(UNetConfig(filters=16, batch_size=bs, epochs=50))
-        tr.create_state(weighting=4.0, steps_per_epoch=160)
-        di = as_device_images(imgs, tr.mesh, dict(normalization_range=(0, 1)))
-        dm = as_device_images(masks, tr.mesh,
-                              dict(normalization_range=(0, 1), threshold=0.5))
-        idx = jnp.asarray(rng.integers(0, 40, (K, bs)))
-        aug = jnp.asarray(rng.integers(0, 4, (K, bs)))
-
-        def step():
-            s, m = tr.train_steps_scan(tr.state, di, dm, idx, aug)
-            tr.state = s
-            return float(m[0])
-
-        dt = _timed(step, warm=1, iters=3) / K
-        out["train_batch_sweep"][str(bs)] = {
-            "ms_per_step": round(dt * 1e3, 1),
-            "ms_per_sample": round(dt * 1e3 / bs, 2),
-            "samples_per_s": round(bs / dt, 1),
-        }
-        print(f"# train bs={bs}: {dt*1e3:.0f} ms/step, "
-              f"{dt*1e3/bs:.1f} ms/sample", flush=True)
-
+    # NOTE first run finding: bs=10 RESOURCE_EXHAUSTs the 16 GB chip — the
+    # backward pass materializes bf16[10,384,384,16] temps in a
+    # {3,0,2,1:T(8,128)} layout, padding N 10->16 and C 16->128 (12.8x,
+    # 576 MB per temp). Sublane-aligned batches avoid the pathological
+    # layout; probe them explicitly and record OOMs as data.
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PROFILE_UNET.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
+
+    def _save():
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+
+    _save()
+    out["train_batch_sweep"] = {}
+    K = 8
+    for bs in (5, 8, 10, 16, 20):
+        try:
+            tr = UNetTrainer(UNetConfig(filters=16, batch_size=bs, epochs=50))
+            tr.create_state(weighting=4.0, steps_per_epoch=160)
+            di = as_device_images(imgs, tr.mesh,
+                                  dict(normalization_range=(0, 1)))
+            dm = as_device_images(
+                masks, tr.mesh,
+                dict(normalization_range=(0, 1), threshold=0.5))
+            idx = jnp.asarray(rng.integers(0, 40, (K, bs)))
+            aug = jnp.asarray(rng.integers(0, 4, (K, bs)))
+
+            def step():
+                s, m = tr.train_steps_scan(tr.state, di, dm, idx, aug)
+                tr.state = s
+                return float(m[0])
+
+            dt = _timed(step, warm=1, iters=3) / K
+            out["train_batch_sweep"][str(bs)] = {
+                "ms_per_step": round(dt * 1e3, 1),
+                "ms_per_sample": round(dt * 1e3 / bs, 2),
+                "samples_per_s": round(bs / dt, 1),
+            }
+            print(f"# train bs={bs}: {dt*1e3:.0f} ms/step, "
+                  f"{dt*1e3/bs:.1f} ms/sample", flush=True)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            out["train_batch_sweep"][str(bs)] = {"error": msg}
+            print(f"# train bs={bs}: FAILED ({msg})", flush=True)
+        _save()
+        # free the trainer's device buffers before the next size
+        tr = di = dm = None
+
+    _save()
     print(f"# wrote {path}")
 
 
