@@ -23,7 +23,9 @@ cd /root/repo
 note() { echo "[r4chain $(date +%H:%M:%S)] $*"; }
 
 probe() {
-  timeout 75 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones(())*2))" \
+  # backend init through the tunnel has been observed taking >2 min while
+  # still healthy — keep the probe window generous
+  timeout 240 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones(())*2))" \
     >/dev/null 2>&1
 }
 

@@ -49,7 +49,7 @@ def newest_mtime(paths: list[str]) -> float:
     return newest
 
 
-def probe_device(timeout_s: int = 75) -> bool:
+def probe_device(timeout_s: int = 240) -> bool:
     """True iff a tiny op on the default device completes from a fresh
     process within the timeout."""
     try:
