@@ -13,7 +13,7 @@
 
 PYTEST ?= python -m pytest
 
-SLOW_SHARDS = slow-1 slow-2 slow-3 slow-4 slow-5 slow-6 slow-7 slow-8 slow-9
+SLOW_SHARDS = slow-1 slow-2 slow-3a slow-3b slow-4 slow-5 slow-6 slow-7 slow-8 slow-9
 
 .PHONY: test test-slow test-all bench dryrun $(SLOW_SHARDS)
 
@@ -25,8 +25,12 @@ slow-1:
 	$(PYTEST) tests/test_batch_semantics.py -q -m slow
 slow-2:
 	$(PYTEST) tests/test_cyclegan.py -q -m slow
-slow-3:
-	$(PYTEST) tests/test_pipeline.py -q -m slow
+# test_pipeline split in two: both halves re-pay the session-scoped
+# micro-pipeline fixture, but each stays under the 10-min window
+slow-3a:
+	$(PYTEST) tests/test_pipeline.py -q -m slow -k "test_step"
+slow-3b:
+	$(PYTEST) tests/test_pipeline.py -q -m slow -k "not test_step"
 slow-4:
 	$(PYTEST) tests/test_resume.py -q -m slow
 slow-5:
