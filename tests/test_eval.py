@@ -204,3 +204,55 @@ def test_ensemble_eval_averages_float_maps(tmp_path):
     np.testing.assert_allclose(med[32, 32], 0.8, atol=1e-6)  # med(0.2,0.8,0.9)
     np.testing.assert_allclose(med[0, 0], 0.1, atol=1e-6)    # med(0.0,0.1,0.9)
     assert not (run / "eval_summary_ens_med.json").exists()  # --no-eval
+
+
+def test_seed_variance_report_aggregates_and_marks_beats(tmp_path, capsys):
+    """scripts/seed_variance_report.py: mean/spread across per-seed summaries
+    (the SEED_VARIANCE.json artifact the unattended chain publishes), the
+    embedded reference baseline, the (beats)/(gap) markers, ensemble rows,
+    and silent skipping of a missing --ensemble path."""
+    import importlib.util
+    import json
+
+    def summary(iou_w, iou_i, iou_f, youd):
+        return {"iou_whole": iou_w, "iou_instance_all": iou_i,
+                "iou_instance_gt9px": iou_f, "youden": youd,
+                "baseline_v120": {"iou_whole": 0.8762,
+                                  "iou_instance": 0.5750, "youden": 0.9120}}
+
+    paths = []
+    for i, vals in enumerate([(0.88, 0.62, 0.74, 0.93),
+                              (0.87, 0.60, 0.72, 0.92),
+                              (0.89, 0.64, 0.76, 0.94)]):
+        d = tmp_path / f"run_s{i}"
+        d.mkdir()
+        p = d / "eval_summary.json"
+        p.write_text(json.dumps(summary(*vals)))
+        paths.append(str(p))
+    ens = tmp_path / "eval_summary_ens.json"
+    ens.write_text(json.dumps(summary(0.895, 0.65, 0.77, 0.945)))
+
+    scripts = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    spec = importlib.util.spec_from_file_location(
+        "seed_variance_report", os.path.join(scripts, "seed_variance_report.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "SEED_VARIANCE.json"
+    rc = mod.main(paths + ["--ensemble", str(ens),
+                           "--ensemble", str(tmp_path / "missing.json"),
+                           "--out", str(out)])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["n_seeds"] == 3
+    np.testing.assert_allclose(rep["mean"]["iou_whole"], 0.88, atol=5e-4)
+    np.testing.assert_allclose(rep["spread"]["iou_whole"], 0.01, atol=5e-4)
+    np.testing.assert_allclose(rep["mean"]["youden"], 0.93, atol=5e-4)
+    assert rep["min"]["iou_instance_all"] == 0.60
+    assert rep["max"]["iou_instance_all"] == 0.64
+    # mean 0.88 >= ref 0.8762 and 0.93 >= 0.9120 -> "(beats)" markers
+    assert rep["markdown"].count("**(beats)**") == 3
+    assert "ensemble" in rep["markdown"]
+    assert list(rep["ensembles"]) == ["eval_summary_ens.json"]
+    captured = capsys.readouterr().out
+    assert "missing.json not found" in captured
