@@ -54,13 +54,21 @@ def _roofline(lowerable, args, dt, details, prefix):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         byts = float(cost.get("bytes accessed", 0.0))
+        hbm_raw = byts / dt / PEAK_HBM_BYTES
         details[f"{prefix}_tflops"] = round(flops / 1e12, 2)
         details[f"{prefix}_mfu"] = round(flops / dt / PEAK_BF16_FLOPS, 4)
-        details[f"{prefix}_hbm_util_est"] = round(byts / dt / PEAK_HBM_BYTES, 3)
+        # raw cost-analysis bytes overcount fused reuse, so the raw ratio
+        # can exceed 1.0; publish the physically-bounded figure and keep
+        # the raw ratio separately for roofline cross-round comparisons
+        details[f"{prefix}_hbm_util_est"] = round(min(hbm_raw, 1.0), 3)
+        details[f"{prefix}_hbm_util_raw_costmodel"] = round(hbm_raw, 3)
         log(f"# {prefix}: {flops / 1e12:.2f} TFLOP, "
             f"MFU {flops / dt / PEAK_BF16_FLOPS * 100:.1f}%, "
-            f"HBM ~{byts / dt / PEAK_HBM_BYTES * 100:.0f}% of "
-            f"{PEAK_HBM_BYTES / 1e9:.0f} GB/s (upper bound)")
+            f"HBM ~{min(hbm_raw, 1.0) * 100:.0f}% of "
+            f"{PEAK_HBM_BYTES / 1e9:.0f} GB/s"
+            + (f" (at the roof; raw cost-model ratio {hbm_raw:.2f} "
+               f"overcounts fused reuse)" if hbm_raw > 1.0
+               else " (upper bound)"))
     except Exception as e:
         log(f"# {prefix} cost analysis unavailable: {e}")
 
@@ -91,7 +99,7 @@ def bench_unet_inference(jax, jnp, details):
     fwd = jax.jit(lambda v, x: jnp.sum(model.apply(v, x, train=False)))
 
     # 9 tiles/image x 32 images; the PROFILE_UNET.json batch sweep measured
-    # 605 tiles/s at 288 vs 427 at the previous 72 (throughput is HBM-
+    # 610 tiles/s at 288 vs 427 at the previous 72 (throughput is HBM-
     # traffic-bound per tile, but larger batches amortize layout-padding
     # waste on the 16-channel stages)
     BATCH = 288

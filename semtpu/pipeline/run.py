@@ -245,7 +245,9 @@ class Pipeline:
                 os.path.join(run, "model", "_CHECKPOINT_METADATA")):
             return None, 0
         ckpts = sorted((e for e in os.listdir(run)
-                        if e.startswith("checkpoints_") and os.path.isfile(
+                        if e.startswith("checkpoints_")
+                        and ".orbax-checkpoint-tmp" not in e  # interrupted save
+                        and os.path.isfile(
                             os.path.join(run, e, "_CHECKPOINT_METADATA"))),
                        key=lambda e: int(e.split("_")[-1]))
         if not ckpts:
@@ -316,6 +318,7 @@ class Pipeline:
             return cfg.cyclegan_model_dir
         cands = sorted(e for e in os.listdir(run)
                        if (e == "model" or e.startswith("checkpoints_"))
+                       and ".orbax-checkpoint-tmp" not in e
                        and os.path.isfile(os.path.join(
                            run, e, "_CHECKPOINT_METADATA")))
         if len(cands) <= 1:

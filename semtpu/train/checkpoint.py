@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 
 import jax
 import orbax.checkpoint as ocp
@@ -38,6 +39,66 @@ def load_checkpoint(path: str, target=None):
     return ckpt.restore(path)
 
 
+class AsyncSaver:
+    """Overlap checkpoint writes with training.
+
+    On a tunneled TPU the device->host pull dominates checkpoint time (a
+    full-budget CycleGAN state is ~1.1 GB; run_t0 measured ~980 s of its
+    8,328 s step-3 wall-clock inside six such saves). The trainers donate
+    their state buffers to the next train step, so the caller must hand
+    this saver an on-device *snapshot* (fresh buffers, e.g. a jitted
+    `tree.map(jnp.copy, state)`); the fetch + Orbax write then run in a
+    background thread while the main thread keeps dispatching epochs.
+
+    One save in flight at a time: `save` joins the previous thread first
+    (bounding extra HBM to one snapshot), and `wait` must be called after
+    the final save before anything reads the checkpoints back. A failure
+    in the background thread re-raises on the next `save`/`wait` so the
+    pipeline's retry machinery still sees it.
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._err: BaseException | None = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint save failed") from err
+
+    def save(self, path: str, snapshot, post=None) -> None:
+        """Fetch `snapshot` (an on-device pytree the caller guarantees is
+        not donated elsewhere) and save it to `path` in the background.
+        `post(host_tree) -> host_tree` runs in-thread after the fetch
+        (dtype coercions that keep the written format bit-identical to
+        the synchronous `save_checkpoint` path)."""
+        self.wait()
+
+        def _run():
+            try:
+                host = jax.device_get(snapshot)
+                if post is not None:
+                    host = post(host)
+                save_checkpoint(path, host)
+            except BaseException as e:  # surfaced by the next wait()
+                self._err = e
+
+        self._thread = threading.Thread(target=_run, name="ckpt-save",
+                                        daemon=True)
+        self._thread.start()
+
+
+def is_committed_checkpoint(path: str) -> bool:
+    """True if `path` is a fully-written Orbax checkpoint directory (an
+    interrupted save leaves a `*.orbax-checkpoint-tmp-*` dir, or a dir
+    without the commit-time `_CHECKPOINT_METADATA` file)."""
+    return (".orbax-checkpoint-tmp" not in os.path.basename(path)
+            and os.path.isfile(os.path.join(path, "_CHECKPOINT_METADATA")))
+
+
 def restructure_opt_state(raw, template):
     """Rebuild an optimizer-state pytree from a raw Orbax restore.
 
@@ -63,6 +124,7 @@ def latest_checkpoint(model_dir: str, pattern: str = r".*") -> str | None:
         return None
     entries = sorted(e for e in os.listdir(model_dir)
                      if re.match(pattern, e)
+                     and ".orbax-checkpoint-tmp" not in e
                      and os.path.isdir(os.path.join(model_dir, e)))
     return os.path.join(model_dir, entries[-1]) if entries else None
 

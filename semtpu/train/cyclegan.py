@@ -54,7 +54,8 @@ from semtpu.train.losses import (lsgan_real_loss, lsgan_fake_loss, mae_loss,
                                  binary_crossentropy)
 from semtpu.train.schedules import cyclegan_linear_decay_schedule
 from semtpu.train.checkpoint import (save_checkpoint, load_checkpoint,
-                                     latest_checkpoint, truncate_epoch_csv)
+                                     latest_checkpoint, truncate_epoch_csv,
+                                     AsyncSaver)
 
 
 @struct.dataclass
@@ -160,6 +161,7 @@ class CycleGANTrainer:
         self.state: CycleGANState | None = None
         self._tx = None
         self._steps_per_epoch = 1
+        self._snapshot_fn = None
 
     # -- loss selections (reference create_model, CycleGAN.py:116-121) -------
     def _cycle_loss_a(self, y_true, y_pred, valid=None):
@@ -551,6 +553,7 @@ class CycleGANTrainer:
         # PRNG keys): no extra device dispatch rides every chunk
         key_rng = np.random.default_rng(cfg.seed + 1)
 
+        ckpt_saver = AsyncSaver()
         for epoch in range(cfg.epochs):
             ia = rng.permutation(len(dataset.a))
             ib = rng.permutation(len(dataset.b))
@@ -625,12 +628,16 @@ class CycleGANTrainer:
                 print(f"epoch {epoch}: g_a={ep['g_a']:.3f} g_b={ep['g_b']:.3f} "
                       f"d_a={ep['d_a']:.3f} d_b={ep['d_b']:.3f}")
             if model_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
-                self.save(os.path.join(model_dir, f"checkpoints_{epoch + 1:03d}"))
+                self.save_async(
+                    os.path.join(model_dir, f"checkpoints_{epoch + 1:03d}"),
+                    ckpt_saver)
             if (image_dir is not None and test_a is not None
                     and test_b is not None and monitor_every
                     and (epoch + 1) % monitor_every == 0):
                 self.save_monitor_panels(test_a, test_b, image_dir, epoch + 1)
 
+        ckpt_saver.wait()  # last cadence save must be on disk before the
+        # final save / checkpoint auto-selection read the run dir back
         if model_dir:
             self.save(os.path.join(model_dir, "model"))
         return history
@@ -793,6 +800,36 @@ class CycleGANTrainer:
             payload["steps_per_epoch"] = np.int32(self._steps_per_epoch)
         save_checkpoint(path, payload)
 
+    def save_async(self, path: str, saver: AsyncSaver):
+        """`save(include_opt=True)` without blocking the epoch loop.
+
+        The train step donates `self.state`'s buffers, so the payload is
+        first copied on-device (one jitted dispatch, ~ms at HBM speed) into
+        fresh buffers the next epoch cannot invalidate; `saver` then pulls
+        the copy host-side and writes Orbax in a background thread. On a
+        tunneled device this hides the ~1.1 GB fetch that run_t0 measured
+        at ~160 s per cadence save (6 saves = ~12% of step-3 wall-clock).
+        Written bytes are identical to the synchronous path."""
+        s = self.state
+        dev = {k: getattr(s, k) for k in
+               ("gen_a", "gen_b", "disc_a", "disc_b",
+                "opt_ga", "opt_gb", "opt_da", "opt_db", "step")}
+        dev["pool_a_images"], dev["pool_a_num"] = s.pool_a.images, s.pool_a.num
+        dev["pool_b_images"], dev["pool_b_num"] = s.pool_b.images, s.pool_b.num
+        if self._snapshot_fn is None:
+            self._snapshot_fn = jax.jit(
+                lambda t: jax.tree.map(jnp.copy, t))
+        snap = self._snapshot_fn(dev)
+        spe = np.int32(self._steps_per_epoch)
+
+        def post(host):
+            for k in ("pool_a_num", "pool_b_num", "step"):
+                host[k] = np.int32(host[k])
+            host["steps_per_epoch"] = spe
+            return host
+
+        saver.save(path, snap, post=post)
+
     def load(self, path_or_model_dir: str, params_only: bool = False):
         """Restore a checkpoint. `params_only=True` ships ONLY the four
         networks' parameters to the device — skipping pools + optimizer
@@ -804,7 +841,8 @@ class CycleGANTrainer:
         if os.path.isdir(path) and not os.path.isdir(os.path.join(path, "gen_a")):
             run = latest_checkpoint(path) or path
             cands = sorted(e for e in os.listdir(run)
-                           if e == "model" or e.startswith("checkpoints_"))
+                           if (e == "model" or e.startswith("checkpoints_"))
+                           and ".orbax-checkpoint-tmp" not in e)
             if cands:
                 path = os.path.join(run, "model" if "model" in cands else cands[-1])
         payload = load_checkpoint(path)
