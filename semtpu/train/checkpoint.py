@@ -14,7 +14,11 @@ import re
 import threading
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
+
+from semtpu.utils.transfer import fetch_packed, put_packed  # noqa: F401
+# (re-exported: the trainers' save/load paths import them from here)
 
 
 def save_checkpoint(path: str, state) -> None:
@@ -79,7 +83,7 @@ class AsyncSaver:
 
         def _run():
             try:
-                host = jax.device_get(snapshot)
+                host = fetch_packed(snapshot)
                 if post is not None:
                     host = post(host)
                 save_checkpoint(path, host)

@@ -55,7 +55,7 @@ from semtpu.train.losses import (lsgan_real_loss, lsgan_fake_loss, mae_loss,
 from semtpu.train.schedules import cyclegan_linear_decay_schedule
 from semtpu.train.checkpoint import (save_checkpoint, load_checkpoint,
                                      latest_checkpoint, truncate_epoch_csv,
-                                     AsyncSaver)
+                                     AsyncSaver, fetch_packed)
 
 
 @struct.dataclass
@@ -127,6 +127,14 @@ class CycleGANConfig:
     # them makes XLA keep multiple backward passes' activations alive
     # (20.4G > 15.75G HBM at 384^2 bs5 even in bf16).
     compute_dtype: Any = jnp.bfloat16
+    # overlap cadence checkpoint writes with training (AsyncSaver). OFF by
+    # default: the on-device snapshot doubles the ~1.1 GB optimizer-bearing
+    # state (pools included) and the background device->host fetch contends
+    # with training dispatches — on the tunneled v5e this deterministically
+    # RESOURCE_EXHAUSTED at the first cadence save (run_s2, 3x reproduced
+    # 2026-08-19). Synchronous saves cost ~160 s each (~12% of step-3
+    # wall-clock at cadence 10) but are the proven path.
+    async_checkpoint: bool = False
     seed: int = 0
 
     def __post_init__(self):
@@ -628,9 +636,12 @@ class CycleGANTrainer:
                 print(f"epoch {epoch}: g_a={ep['g_a']:.3f} g_b={ep['g_b']:.3f} "
                       f"d_a={ep['d_a']:.3f} d_b={ep['d_b']:.3f}")
             if model_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
-                self.save_async(
-                    os.path.join(model_dir, f"checkpoints_{epoch + 1:03d}"),
-                    ckpt_saver)
+                ckpt_path = os.path.join(model_dir,
+                                         f"checkpoints_{epoch + 1:03d}")
+                if cfg.async_checkpoint:
+                    self.save_async(ckpt_path, ckpt_saver)
+                else:
+                    self.save(ckpt_path)
             if (image_dir is not None and test_a is not None
                     and test_b is not None and monitor_every
                     and (epoch + 1) % monitor_every == 0):
@@ -787,16 +798,22 @@ class CycleGANTrainer:
         whole optimizer-bearing models per epoch, `CycleGAN.py:203-204`);
         False writes the four networks only (4x smaller)."""
         s = self.state
-        payload = {k: jax.device_get(getattr(s, k))
-                   for k in ("gen_a", "gen_b", "disc_a", "disc_b")}
+        dev = {k: getattr(s, k)
+               for k in ("gen_a", "gen_b", "disc_a", "disc_b")}
         if include_opt:
             for k in ("opt_ga", "opt_gb", "opt_da", "opt_db"):
-                payload[k] = jax.device_get(getattr(s, k))
-            payload["pool_a_images"] = jax.device_get(s.pool_a.images)
-            payload["pool_a_num"] = np.int32(jax.device_get(s.pool_a.num))
-            payload["pool_b_images"] = jax.device_get(s.pool_b.images)
-            payload["pool_b_num"] = np.int32(jax.device_get(s.pool_b.num))
-            payload["step"] = np.int32(jax.device_get(s.step))
+                dev[k] = getattr(s, k)
+            dev["pool_a_images"], dev["pool_a_num"] = (s.pool_a.images,
+                                                       s.pool_a.num)
+            dev["pool_b_images"], dev["pool_b_num"] = (s.pool_b.images,
+                                                       s.pool_b.num)
+            dev["step"] = s.step
+        # packed fetch: one transfer per dtype instead of ~900 leafwise
+        # round-trips through the tunnel (train/checkpoint.py)
+        payload = fetch_packed(dev)
+        if include_opt:
+            for k in ("pool_a_num", "pool_b_num", "step"):
+                payload[k] = np.int32(payload[k])
             payload["steps_per_epoch"] = np.int32(self._steps_per_epoch)
         save_checkpoint(path, payload)
 

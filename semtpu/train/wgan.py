@@ -37,7 +37,8 @@ from semtpu.models.wgan import WGANGenerator, WGANDiscriminator
 from semtpu.data.dataset import ArrayDataset
 from semtpu.parallel import get_mesh, shard_batch, replicate
 from semtpu.train.losses import wasserstein_d_loss, wasserstein_g_loss
-from semtpu.train.checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+from semtpu.train.checkpoint import (save_checkpoint, load_checkpoint,
+                                     latest_checkpoint, fetch_packed)
 
 
 @struct.dataclass
@@ -301,13 +302,17 @@ class WGANTrainer:
     def save(self, path: str, include_opt: bool = True):
         """Checkpoint; `include_opt=True` persists both Adam states + step
         so `load` resumes training EXACTLY."""
-        payload = {"g_params": jax.device_get(self.state.g_params),
-                   "g_stats": jax.device_get(self.state.g_stats),
-                   "d_params": jax.device_get(self.state.d_params)}
+        dev = {"g_params": self.state.g_params,
+               "g_stats": self.state.g_stats,
+               "d_params": self.state.d_params}
         if include_opt:
-            payload["g_opt"] = jax.device_get(self.state.g_opt)
-            payload["d_opt"] = jax.device_get(self.state.d_opt)
-            payload["step"] = np.int32(jax.device_get(self.state.step))
+            dev["g_opt"] = self.state.g_opt
+            dev["d_opt"] = self.state.d_opt
+            dev["step"] = self.state.step
+        # one transfer per dtype instead of leafwise (train/checkpoint.py)
+        payload = fetch_packed(dev)
+        if include_opt:
+            payload["step"] = np.int32(payload["step"])
         save_checkpoint(path, payload)
 
     def load(self, path_or_model_dir: str):
