@@ -70,6 +70,10 @@ class PipelineConfig:
     # measured roofline experiment (PROFILE_CYCLEGAN.json), quality config
     # unchanged
     cyclegan_remat: str = "none"
+    # overlap cadence checkpoint writes with training; default off — the
+    # on-device state snapshot + background fetch RESOURCE_EXHAUSTs the
+    # tunneled v5e (see CycleGANConfig.async_checkpoint)
+    cyclegan_async_checkpoint: bool = False
     # auto-resume an interrupted step-3 run: if the latest CycleGAN run dir
     # has checkpoints_* but no final `model/`, reload the newest checkpoint
     # (exact state: optimizer moments, pools, step, schedule geometry) and
@@ -82,6 +86,10 @@ class PipelineConfig:
 
     # UNet (StartProcess.py:39-42, 149-175)
     unet_batch_size: int = 5
+    # gradient microbatches per optimizer step (unet_batch_size % M == 0):
+    # lets effective batches >= 10 train past the bf16[N,384,384,16]
+    # layout-padding compile wall measured in PROFILE_UNET.json; 1 = off
+    unet_grad_microbatches: int = 1
     unet_epochs: int = 50
     unet_contrast_optimization_range: tuple = (0.5, 99.5)
     # randomized contrast-window augmentation on UNet training images

@@ -193,6 +193,7 @@ class Pipeline:
             invert_images=cfg.invert_images,
             stream_from_host=cfg.use_dataloader,
             remat=cfg.cyclegan_remat,
+            async_checkpoint=cfg.cyclegan_async_checkpoint,
             seed=cfg.seed)
         return CycleGANTrainer(ccfg, mesh=self.mesh)
 
@@ -403,6 +404,7 @@ class Pipeline:
         cfg = self.cfg
         ucfg = UNetConfig(filters=cfg.unet_filters,
                           batch_size=cfg.unet_batch_size,
+                          grad_microbatches=cfg.unet_grad_microbatches,
                           epochs=cfg.unet_epochs,
                           tile_h=cfg.tile_size_h, tile_w=cfg.tile_size_w,
                           contrast_optimization_range=cfg.unet_contrast_optimization_range,

@@ -36,7 +36,8 @@ from semtpu.parallel import get_mesh, shard_batch, replicate
 from semtpu.train.losses import weighted_bce
 from semtpu.train.schedules import step_decay_schedule, linear_decay_schedule
 from semtpu.train.checkpoint import (save_checkpoint, load_checkpoint,
-                                     latest_checkpoint, truncate_epoch_csv)
+                                     latest_checkpoint, truncate_epoch_csv,
+                                     fetch_packed)
 
 
 class TrainState(train_state.TrainState):
@@ -72,6 +73,18 @@ class UNetConfig:
     # improvement; 0 disables (reference behavior: always run all epochs)
     early_stopping_patience: int = 0
     bn_momentum: float = 0.99
+    # split each optimizer step's batch into M sequentially-scanned
+    # gradient microbatches (batch_size % M == 0). Round-4 finding
+    # (PROFILE_UNET.json): the fused backward pass materializes
+    # bf16[N,384,384,16] temps that XLA layout-pads N->16 and C->128
+    # (576 MB each), so train batches >= 10 fail to compile on a 16 GB
+    # chip. M microbatches keep every temp at the compiling bs<=8 shape
+    # while the OPTIMIZER step sees the full batch: gradients accumulate
+    # to exactly the full-batch mean (valid-sample weighted), metrics
+    # aggregate identically; only BatchNorm moments are computed per
+    # microbatch (training-at-b statistics, standard grad-accumulation
+    # semantics). 1 disables.
+    grad_microbatches: int = 1
     compute_dtype: Any = jnp.bfloat16
     seed: int = 0
 
@@ -172,25 +185,86 @@ class UNetTrainer:
                      if key is not None else jnp.zeros((img_idx.shape[0], 2),
                                                        jnp.uint32))
 
+        M = self.config.grad_microbatches
+
         def body(state, xs):
             idx, a, k = xs
             k = k if (images_all.aug_contrast and key is not None) else None
-            images = apply_flip(
-                self._shard_constraint(images_all.gather_train(idx, k)), a)
-            masks = apply_flip(self._shard_constraint(masks_all.gather(idx)), a)
+            if M <= 1:
+                images = apply_flip(
+                    self._shard_constraint(images_all.gather_train(idx, k)), a)
+                masks = apply_flip(self._shard_constraint(masks_all.gather(idx)), a)
 
-            def loss_fn(params):
-                preds, updates = state.apply_fn(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    images, train=True, mutable=["batch_stats"])
-                return (weighted_bce(masks, preds, w, valid),
-                        (preds, updates["batch_stats"]))
+                def loss_fn(params):
+                    preds, updates = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        images, train=True, mutable=["batch_stats"])
+                    return (weighted_bce(masks, preds, w, valid),
+                            (preds, updates["batch_stats"]))
 
-            (loss, (preds, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
-            m = jnp.stack([loss, masked_mean(jnp.abs(masks - preds), valid),
-                           masked_mean((preds > 0.5) == (masks > 0.5), valid)])
+                (loss, (preds, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(grads=grads).replace(
+                    batch_stats=new_stats)
+                m = jnp.stack([loss, masked_mean(jnp.abs(masks - preds), valid),
+                               masked_mean((preds > 0.5) == (masks > 0.5), valid)])
+                return state, m
+
+            # -- gradient microbatching (cfg.grad_microbatches > 1) --------
+            # inner scan over M microbatches of b = B/M samples each: every
+            # forward/backward runs at batch b (below the bs>=10 layout-
+            # padding compile wall, PROFILE_UNET.json), the optimizer step
+            # runs once at the full batch. Per-microbatch losses/metrics
+            # are scaled by (valid samples in microbatch / valid in batch),
+            # so their SUM is the exact valid-weighted mean over the batch
+            # and the accumulated gradient is the exact valid-weighted mean
+            # of per-microbatch gradients (BatchNorm normalizes each
+            # microbatch by its own moments — "train at batch b with M-step
+            # gradient averaging", standard grad-accumulation semantics).
+            B = idx.shape[0]
+            if B % M:
+                raise ValueError(f"batch {B} not divisible by "
+                                 f"grad_microbatches {M}")
+            b = B // M
+            v_full = (valid if valid is not None
+                      else jnp.ones((B,), jnp.float32))
+            v_total = jnp.maximum(jnp.sum(v_full), 1.0)
+
+            def micro(carry, mxs):
+                grads_acc, stats, m_acc = carry
+                midx, ma, mv, j = mxs
+                mk = jax.random.fold_in(k, j) if k is not None else None
+                images = apply_flip(self._shard_constraint(
+                    images_all.gather_train(midx, mk)), ma)
+                masks = apply_flip(self._shard_constraint(
+                    masks_all.gather(midx)), ma)
+                v_mb = jnp.sum(mv)
+                scale = v_mb / v_total
+
+                def loss_fn(params):
+                    preds, updates = state.apply_fn(
+                        {"params": params, "batch_stats": stats},
+                        images, train=True, mutable=["batch_stats"])
+                    loss = weighted_bce(masks, preds, w, mv)
+                    return loss * scale, (loss, preds, updates["batch_stats"])
+
+                (_, (loss, preds, new_stats)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                m = jnp.stack([loss,
+                               masked_mean(jnp.abs(masks - preds), mv),
+                               masked_mean((preds > 0.5) == (masks > 0.5), mv)
+                               ]) * scale
+                return (grads_acc, new_stats, m_acc + m), None
+
+            init = (jax.tree.map(jnp.zeros_like, state.params),
+                    state.batch_stats, jnp.zeros((3,), jnp.float32))
+            (grads, stats, m), _ = jax.lax.scan(
+                micro, init,
+                (idx.reshape(M, b), a.reshape(M, b),
+                 v_full.reshape(M, b), jnp.arange(M)))
+            state = state.apply_gradients(grads=grads).replace(
+                batch_stats=stats)
             return state, m
 
         state, ms = jax.lax.scan(body, state, (img_idx, aug, step_keys))
@@ -455,12 +529,16 @@ class UNetTrainer:
         False writes a weights-only snapshot (3x smaller). `extra` merges
         additional state into the payload (mid-run resume checkpoints use
         it for the best-loss monitor / early-stop counters)."""
-        payload = {"params": jax.device_get(self.state.params),
-                   "batch_stats": jax.device_get(self.state.batch_stats),
-                   "weighting": np.float32(self._weighting)}
+        dev = {"params": self.state.params,
+               "batch_stats": self.state.batch_stats}
         if include_opt:
-            payload["opt_state"] = jax.device_get(self.state.opt_state)
-            payload["step"] = np.int32(jax.device_get(self.state.step))
+            dev["opt_state"] = self.state.opt_state
+            dev["step"] = self.state.step
+        # one transfer per dtype instead of leafwise (train/checkpoint.py)
+        payload = fetch_packed(dev)
+        payload["weighting"] = np.float32(self._weighting)
+        if include_opt:
+            payload["step"] = np.int32(payload["step"])
             payload["steps_per_epoch"] = np.int32(self._steps_per_epoch)
         if extra:
             payload.update(extra)

@@ -265,3 +265,77 @@ def test_run_inference_zeroes_metadata_bar(tmp_path, trained):
     raw = np.array(Image.open(os.path.join(outdir, "a_raw.tif")))
     assert (raw[-8:] == 0).all()
     assert raw[:-8].max() > 0
+
+
+# -- gradient microbatching (cfg.grad_microbatches > 1) ----------------------
+# exactness properties of the accumulation/scaling logic; the operating-
+# point motivation (bs>=10 layout-padding compile wall) is PROFILE_UNET.json
+
+def _micro_trainer(M, rng_data, batch=8):
+    imgs, masks = synth_data(rng_data, n=8)
+    cfg = UNetConfig(filters=4, batch_size=batch, epochs=1, tile_h=48,
+                     tile_w=48, bn_momentum=0.6, grad_microbatches=M,
+                     compute_dtype=jnp.float32)
+    tr = UNetTrainer(cfg, mesh=get_mesh())
+    tr.create_state(2.0, steps_per_epoch=1, sample_shape=(1, 48, 48, 1))
+    from semtpu.data.dataset import as_device_images
+    return tr, as_device_images(imgs, tr.mesh), as_device_images(masks, tr.mesh)
+
+
+def _params_close(p1, p2):
+    for x, y in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_grad_microbatch_duplicate_halves_match_plain_step():
+    # both microbatches hold the SAME 4 samples: the accumulated gradient
+    # (0.5*g + 0.5*g) must equal g, so params match a plain batch-4 step
+    tr2, di, dm = _micro_trainer(2, np.random.default_rng(3))
+    tr1, _, _ = _micro_trainer(1, np.random.default_rng(3), batch=4)
+    half = np.array([0, 1, 2, 3], np.int32)
+    idx2 = jnp.asarray(np.concatenate([half, half])[None])      # (1, 8)
+    idx1 = jnp.asarray(half[None])                              # (1, 4)
+    aug2, aug1 = jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 4), jnp.int32)
+    s2, m2 = tr2.train_steps_scan(tr2.state, di, dm, idx2, aug2)
+    s1, m1 = tr1.train_steps_scan(tr1.state, di, dm, idx1, aug1)
+    _params_close(s2.params, s1.params)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_grad_microbatch_invalid_tail_matches_valid_head_only():
+    # second microbatch all padding (valid=0): zero gradient/metric weight,
+    # so params match a plain step on just the first microbatch
+    tr2, di, dm = _micro_trainer(2, np.random.default_rng(4))
+    tr1, _, _ = _micro_trainer(1, np.random.default_rng(4), batch=4)
+    idx2 = jnp.asarray(np.array([[0, 1, 2, 3, 4, 5, 6, 7]], np.int32))
+    idx1 = jnp.asarray(np.array([[0, 1, 2, 3]], np.int32))
+    valid = jnp.asarray(np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32))
+    aug2, aug1 = jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 4), jnp.int32)
+    s2, m2 = tr2.train_steps_scan(tr2.state, di, dm, idx2, aug2, valid=valid)
+    s1, m1 = tr1.train_steps_scan(tr1.state, di, dm, idx1, aug1)
+    _params_close(s2.params, s1.params)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_grad_microbatch_fit_end_to_end():
+    # fit() runs with microbatching on and still learns the discs
+    rng = np.random.default_rng(5)
+    imgs, masks = synth_data(rng)
+    ds = SegmentationDataset(imgs, masks, "train")
+    cfg = UNetConfig(filters=4, batch_size=8, epochs=4, learning_rate=3e-3,
+                     tile_h=48, tile_w=48, bn_momentum=0.6,
+                     grad_microbatches=2, compute_dtype=jnp.float32)
+    tr = UNetTrainer(cfg, mesh=get_mesh())
+    hist = tr.fit(ds)
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_grad_microbatch_indivisible_batch_raises():
+    tr, di, dm = _micro_trainer(3, np.random.default_rng(6))
+    idx = jnp.asarray(np.zeros((1, 8), np.int32))
+    aug = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(ValueError, match="not divisible"):
+        tr.train_steps_scan(tr.state, di, dm, idx, aug)
