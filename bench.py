@@ -109,6 +109,24 @@ def bench_unet_inference(jax, jnp, details):
     dt = _timed(lambda: float(fwd(variables, xb)), warm=2, iters=5)
     tiles_per_sec = BATCH / dt
 
+    # space-to-depth repacked forward (models/s2d.py): same parameters, same
+    # function, full-res stages evaluated at 192^2 x 4C to cut the measured
+    # 128-lane padding waste (PROFILE_UNET.json). Exactness is pinned by
+    # tests/test_s2d.py; here we time it against the plain forward and the
+    # headline takes the faster path (both recorded in BENCH_DETAILS.json).
+    try:
+        from semtpu.models.s2d import unet_apply_s2d
+        fwd_s2d = jax.jit(lambda v, x: jnp.sum(
+            unet_apply_s2d(v, x, filters=16, dtype=jnp.bfloat16)))
+        dt_s2d = _timed(lambda: float(fwd_s2d(variables, xb)), warm=2, iters=5)
+        s2d_tiles = BATCH / dt_s2d
+        details["unet_inference_tiles_per_sec_s2d"] = round(s2d_tiles, 2)
+        log(f"# unet s2d inference: {s2d_tiles:.1f} tiles/s "
+            f"({'adopted' if s2d_tiles > tiles_per_sec else 'slower than plain'})")
+        tiles_per_sec = max(tiles_per_sec, s2d_tiles)
+    except Exception as e:
+        log(f"# s2d inference path failed: {e}")
+
     # XLA cost analysis -> model FLOPs -> MFU against the chip's bf16 peak
     try:
         cost = fwd.lower(variables, xb).compile().cost_analysis()
