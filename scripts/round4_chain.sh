@@ -182,31 +182,8 @@ if [ -f run_s1/eval_summary.json ] && [ -f run_s2/eval_summary.json ]; then
 fi
 
 # ---- 8. TSEM variant with the round-3/4 quality levers (VERDICT item 9) --
-# Only reached if the seed runs finished inside the round budget.
-TSEM_GT="/root/reference/Datasets/Electron Microscopy Image Masks/TiO2_Masks_TSEM"
-if [ ! -f run_tsem/eval_summary.json ]; then
-  if [ ! -d run_tsem/Input_Images ]; then
-    note "staging run_tsem inputs"
-    python scripts/prepare_run.py run_tsem \
-      --images-dir "/root/reference/Datasets/Electron Microscopy Images/TSEM" \
-      --gt-dir "$TSEM_GT" --gt-suffix ""
-  fi
-  note "=== run_tsem steps 0-6b ==="
-  wait_for_tunnel
-  python scripts/run_with_retry.py --root-dir /root/repo/run_tsem \
-    --log /root/repo/run_tsem/pipeline.log --max-retries 60 -- \
-    python -m semtpu.pipeline --root-dir /root/repo/run_tsem \
-    $PIPE_FLAGS --seed 0 --dark-background false --invert-images true \
-    --steps 0,1,2,3,4,5,6a,6b
-  eval_dir run_tsem --gt "$TSEM_GT" --gt-suffix "" || note "tsem eval FAILED"
-fi
-if [ -f run_tsem/eval_summary.json ] && [ ! -f run_tsem/eval_summary_dih.json ]; then
-  model=$(ls -d run_tsem/3_UNet/Models/*/ 2>/dev/null | sort | tail -1)
-  if [ -n "$model" ]; then
-    wait_for_tunnel
-    timeout 5400 python scripts/infer_variant.py run_tsem "$model" \
-      Output_Masks_UNet_dih --tta-dihedral --gt "$TSEM_GT" --gt-suffix "" \
-      || note "tsem dihedral variant rc=$?"
-  fi
-fi
+# Superseded: the TSEM stage now lives in round5_chain.sh under a
+# /tmp/r5_tsem.lock flock (ADVICE r4: the duplicated output-guarded stage
+# here could race a concurrently-relaunched v2/v5 chain into two pipelines
+# writing one run_tsem dir). Run round5_chain.sh for TSEM.
 note "chain complete"

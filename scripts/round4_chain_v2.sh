@@ -70,7 +70,9 @@ run_pipeline() {  # dir, seed, extra flags...
     --log /root/repo/$dir/pipeline.log --max-retries 60 -- \
     python -m semtpu.pipeline --root-dir /root/repo/$dir \
     $PIPE_FLAGS --seed $seed "$@" --steps 0,1,2,3,4,5,6a,6b
-  note "$dir pipeline rc=$?"
+  local rc=$?
+  note "$dir pipeline rc=$rc"
+  return $rc
 }
 
 eval_dir() {  # dir, extra args...
@@ -103,15 +105,19 @@ tta_variant() {  # run_dir, out_name, extra args...
 
 # ---- 1. wait for the in-flight run_t0 pipeline (launched by v1) ----------
 T0_RETRY_PID=$(cat /tmp/r4_t0_retry.pid 2>/dev/null || echo "")
+t0_alive() {  # a recycled pid must not count: verify the process identity
+  [ -n "$T0_RETRY_PID" ] && kill -0 "$T0_RETRY_PID" 2>/dev/null \
+    && grep -q run_with_retry "/proc/$T0_RETRY_PID/cmdline" 2>/dev/null
+}
 while ! grep -q "step 6b" run_t0/timings.txt 2>/dev/null; do
-  if [ -n "$T0_RETRY_PID" ] && kill -0 "$T0_RETRY_PID" 2>/dev/null; then
+  if t0_alive; then
     note "run_t0 pipeline (retry pid $T0_RETRY_PID) still running; sleeping 5 min"
     sleep 300
   else
     note "run_t0 pipeline not running and step 6b missing — (re)launching"
     wait_for_tunnel
-    run_pipeline run_t0 0
-    break
+    run_pipeline run_t0 0 || note "run_t0 relaunch rc nonzero; loop retries"
+    T0_RETRY_PID=""
   fi
 done
 note "run_t0 pipeline complete"
@@ -191,21 +197,8 @@ if [ ! -f run_t0/classifier_calibration.json ] && [ -f run_t0/eval_summary.json 
   fi
 fi
 
-# ---- 7. TSEM variant with the round-3/4 quality levers ---------------------
-TSEM_GT="/root/reference/Datasets/Electron Microscopy Image Masks/TiO2_Masks_TSEM"
-if [ ! -f run_tsem/eval_summary.json ]; then
-  if [ ! -d run_tsem/Input_Images ]; then
-    note "staging run_tsem inputs"
-    python scripts/prepare_run.py run_tsem \
-      --images-dir "/root/reference/Datasets/Electron Microscopy Images/TSEM" \
-      --gt-dir "$TSEM_GT" --gt-suffix ""
-  fi
-  note "=== run_tsem steps 0-6b ==="
-  wait_for_tunnel
-  run_pipeline run_tsem 0 --dark-background false --invert-images true
-  eval_dir run_tsem --gt "$TSEM_GT" --gt-suffix "" || note "tsem eval FAILED"
-fi
-if [ -f run_tsem/eval_summary.json ] && [ ! -f run_tsem/eval_summary_dih.json ]; then
-  tta_variant run_tsem Output_Masks_UNet_dih --gt "$TSEM_GT" --gt-suffix ""
-fi
+# ---- 7. TSEM variant: superseded -------------------------------------------
+# The TSEM stage now lives in round5_chain.sh under a /tmp/r5_tsem.lock
+# flock (ADVICE r4: duplicated output-guarded stages across chains could
+# race into two concurrent run_tsem pipelines). Run round5_chain.sh for TSEM.
 note "chain v2 complete"

@@ -1,0 +1,111 @@
+#!/bin/bash
+# Round-5 closing chain: a fourth independent seed run (seed 3) on a fresh
+# machine (all previous runs' model checkpoints were bulk artifacts and are
+# gone; only committed evidence JSONs survive), then its parity eval,
+# dihedral-TTA row, and an updated SEED_VARIANCE.json over four seeds.
+#
+# Identical pipeline flags to run_s1/run_s2 (scripts/round5_chain.sh
+# PIPE_FLAGS) so the run is a valid seed-variance point: same budgets, same
+# V2 quality levers, same checkpoint cadence 10 (the cadence feeds the
+# `--cyclegan-checkpoint auto` Li-keep-rate selection, so it is part of the
+# configuration, not just I/O).
+#
+# Every stage is output-guarded; safe to relaunch.
+# Usage: nohup bash scripts/round5b_chain.sh >> /root/repo/round5b_chain.log 2>&1 &
+set -u
+cd /root/repo
+
+note() { echo "[r5bchain $(date +%H:%M:%S)] $*"; }
+
+probe() {
+  timeout 240 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones(())*2))" \
+    >/dev/null 2>&1
+}
+
+wait_for_tunnel() {
+  while ! probe; do
+    note "tunnel down; sleeping 5 min"
+    sleep 300
+  done
+}
+
+commit_artifacts() {  # message, paths...
+  local msg=$1; shift
+  for attempt in 1 2 3 4 5; do
+    if git add -f -- "$@" 2>/dev/null && git commit -m "$msg" --only -- "$@" \
+        >/dev/null 2>&1; then
+      note "committed: $msg"
+      return 0
+    fi
+    sleep 30
+  done
+  note "commit FAILED (non-fatal): $msg"
+  return 1
+}
+
+PIPE_FLAGS="--num-simulated-masks 1000 --wgan-epochs 1000 --cyclegan-epochs 50 \
+  --unet-epochs 50 --cyclegan-label-smoothing-factor 0.1 \
+  --cyclegan-gaussian-noise-value 0.15 --cyclegan-checkpoint-every 10 \
+  --cyclegan-checkpoint auto --metadata-bar-rows 56 \
+  --unet-checkpoint-monitor val_loss --unet-early-stopping-patience 12 \
+  --skip-completed-steps true --cyclegan-remat none"
+
+# ---- 1. run_s3: steps 0-6b, seed 3 ----------------------------------------
+if ! grep -q "step 6b" run_s3/timings.txt 2>/dev/null; then
+  if [ ! -d run_s3/Input_Images ]; then
+    note "staging run_s3 inputs"
+    python scripts/prepare_run.py run_s3 || exit 1
+  fi
+  wait_for_tunnel
+  note "=== run_s3 steps 0-6b (seed 3) ==="
+  python scripts/run_with_retry.py --root-dir /root/repo/run_s3 \
+    --log /root/repo/run_s3/pipeline.log --max-retries 60 -- \
+    python -m semtpu.pipeline --root-dir /root/repo/run_s3 \
+    $PIPE_FLAGS --seed 3 --steps 0,1,2,3,4,5,6a,6b
+  rc=$?
+  note "run_s3 pipeline rc=$rc"
+  [ $rc -ne 0 ] && ! grep -q "step 6b" run_s3/timings.txt 2>/dev/null && exit $rc
+fi
+
+# ---- 2. parity eval ---------------------------------------------------------
+if [ ! -f run_s3/eval_summary.json ]; then
+  for attempt in 1 2 3; do
+    wait_for_tunnel
+    timeout 2400 python scripts/eval_run.py run_s3 \
+      --summary-name eval_summary.json && break
+    note "eval_run run_s3 attempt $attempt failed; retrying"
+    sleep 120
+  done
+fi
+[ -f run_s3/eval_summary.json ] \
+  && commit_artifacts "evidence: run_s3 (seed 3) parity eval" \
+       run_s3/eval_summary.json run_s3/timings.txt
+
+# ---- 3. dihedral TTA row ----------------------------------------------------
+if [ -f run_s3/eval_summary.json ] && [ ! -f run_s3/eval_summary_dih.json ]; then
+  model=$(ls -d run_s3/3_UNet/Models/*/ 2>/dev/null | sort | tail -1)
+  if [ -n "$model" ]; then
+    for attempt in 1 2 3; do
+      wait_for_tunnel
+      timeout 5400 python scripts/infer_variant.py run_s3 "$model" \
+        Output_Masks_UNet_dih --tta-dihedral && break
+      note "infer_variant run_s3 dih attempt $attempt failed; retrying"
+      sleep 120
+    done
+  fi
+fi
+[ -f run_s3/eval_summary_dih.json ] \
+  && commit_artifacts "evidence: run_s3 dihedral TTA eval" \
+       run_s3/eval_summary_dih.json
+
+# ---- 4. four-seed variance report -------------------------------------------
+if [ -f run_s3/eval_summary.json ]; then
+  args=(run_t0/eval_summary.json run_s1/eval_summary.json
+        run_s2/eval_summary.json run_s3/eval_summary.json)
+  [ -f run_t0/eval_summary_ens_seeds.json ] \
+    && args+=(--ensemble run_t0/eval_summary_ens_seeds.json)
+  python scripts/seed_variance_report.py "${args[@]}" \
+    && commit_artifacts "evidence: SEED_VARIANCE.json over four seeds (0/1/2/3)" \
+         SEED_VARIANCE.json run_s3/eval_summary.json run_s3/timings.txt
+fi
+note "chain r5b complete"
