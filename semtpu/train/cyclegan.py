@@ -127,6 +127,18 @@ class CycleGANConfig:
     # them makes XLA keep multiple backward passes' activations alive
     # (20.4G > 15.75G HBM at 384^2 bs5 even in bf16).
     compute_dtype: Any = jnp.bfloat16
+    # fuse same-parameter network applications inside the step into one
+    # larger-batch application: the generator loss's three forwards
+    # (adversarial, cycle, identity — same params, same shapes) run as ONE
+    # batch-3B application, and each discriminator's real+pooled forwards
+    # as ONE batch-2B application. InstanceNorm normalizes per sample, so
+    # the fused math is identical per sample (gradients differ only in
+    # float summation order); with gaussian_noise > 0 the discriminator
+    # noise is drawn once for the fused batch instead of twice from the
+    # same key, which changes the draw (arguably more faithful to the
+    # reference's per-call keras GaussianNoise). Measured by
+    # scripts/profile_cyclegan.py --fused.
+    fused_applications: bool = False
     # overlap cadence checkpoint writes with training (AsyncSaver). OFF by
     # default: the on-device snapshot doubles the ~1.1 GB optimizer-bearing
     # state (pools included) and the background device->host fetch contends
@@ -310,14 +322,25 @@ class CycleGANTrainer:
         cyc_fn = self._cycle_loss_a if which == "a" else mae_loss
 
         def loss_fn(p):
-            fake = self._g(gen, p, real_own)            # adv branch
-            cycled = self._g(gen, p, fake_other)        # cycle branch
+            if cfg.fused_applications:
+                # one batch-(2|3)B application instead of 2-3 batch-B ones:
+                # same params, same shapes; InstanceNorm is per-sample so
+                # each slice computes exactly what its separate call would
+                b = real_own.shape[0]
+                parts = [real_own, fake_other] + (
+                    [real_other] if lam_id > 0 else [])
+                outs = self._g(gen, p, jnp.concatenate(parts, axis=0))
+                fake, cycled = outs[:b], outs[b:2 * b]
+                same = outs[2 * b:] if lam_id > 0 else None
+            else:
+                fake = self._g(gen, p, real_own)        # adv branch
+                cycled = self._g(gen, p, fake_other)    # cycle branch
+                same = self._g(gen, p, real_other) if lam_id > 0 else None
             logits = self._d(disc, jax.lax.stop_gradient(disc_params),
                              fake, key, True)
             adv = lsgan_real_loss(logits, smooth, valid)
             cyc = cyc_fn(real_other, cycled, valid) * lam
             if lam_id > 0:
-                same = self._g(gen, p, real_other)
                 ident = mae_loss(real_other, same, valid) * lam * lam_id
             else:
                 ident = jnp.float32(0)
@@ -358,10 +381,24 @@ class CycleGANTrainer:
 
         def disc_loss(disc_params):
             da, db = disc_params
-            real_logits_a = self._d(self.disc_a, da, real_a, k[2], True)
-            fake_logits_a = self._d(self.disc_a, da, pooled_a, k[2], True)
-            real_logits_b = self._d(self.disc_b, db, real_b, k[3], True)
-            fake_logits_b = self._d(self.disc_b, db, pooled_b, k[3], True)
+            if cfg.fused_applications:
+                # one batch-2B application per discriminator; the noise rng
+                # (if enabled) draws once over the fused batch instead of
+                # twice from the same key
+                b = real_a.shape[0]
+                logits_a = self._d(self.disc_a, da,
+                                   jnp.concatenate([real_a, pooled_a], 0),
+                                   k[2], True)
+                real_logits_a, fake_logits_a = logits_a[:b], logits_a[b:]
+                logits_b = self._d(self.disc_b, db,
+                                   jnp.concatenate([real_b, pooled_b], 0),
+                                   k[3], True)
+                real_logits_b, fake_logits_b = logits_b[:b], logits_b[b:]
+            else:
+                real_logits_a = self._d(self.disc_a, da, real_a, k[2], True)
+                fake_logits_a = self._d(self.disc_a, da, pooled_a, k[2], True)
+                real_logits_b = self._d(self.disc_b, db, real_b, k[3], True)
+                fake_logits_b = self._d(self.disc_b, db, pooled_b, k[3], True)
             d_real_a = lsgan_real_loss(real_logits_a, smooth, valid)
             d_fake_a = lsgan_fake_loss(fake_logits_a, smooth, valid)
             d_real_b = lsgan_real_loss(real_logits_b, smooth, valid)

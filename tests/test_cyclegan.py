@@ -84,6 +84,44 @@ def test_remat_matches_baseline(mode):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["identity", "bce_no_identity"])
+def test_fused_applications_match_baseline(variant):
+    """fused_applications concatenates same-parameter forwards into one
+    larger-batch application (gen: adv+cycle+identity as batch 3B; disc:
+    real+pooled as batch 2B). InstanceNorm is per-sample, so with noise
+    off one fused train step must match the unfused step to float
+    summation order."""
+    rng = np.random.default_rng(12)
+    a, b = domains(rng, n=4)
+    from semtpu.data.dataset import as_device_images
+    extra = ({} if variant == "identity"
+             else dict(use_binary_crossentropy=True,
+                       lambda_identity_a=0.0, lambda_identity_b=0.0))
+
+    def one_step(fused):
+        cfg = tiny_config(epochs=1, compute_dtype=jnp.float32, scan_steps=1,
+                          fused_applications=fused, **extra)
+        tr = CycleGANTrainer(cfg)
+        tr.create_state(steps_per_epoch=1)
+        da = as_device_images(a, tr.mesh, None)
+        db = as_device_images(b, tr.mesh, None)
+        idx = jnp.arange(4)
+        state, m = tr.train_step(tr.state, da, db, idx, idx,
+                                 jax.random.PRNGKey(0))
+        return state, m
+
+    s0, m0 = one_step(False)
+    s1, m1 = one_step(True)
+    for k in m0:
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]),
+                                   rtol=1e-4, atol=1e-5)
+    for net in ("gen_a", "gen_b", "disc_a", "disc_b"):
+        for x, y in zip(jax.tree.leaves(getattr(s0, net)),
+                        jax.tree.leaves(getattr(s1, net))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_streaming_matches_device_resident():
     """stream_from_host (the reference's use_dataloader for the CycleGAN
     Sequence, `CycleGAN.py:454-479`) uploads per-chunk uint8 slices instead
