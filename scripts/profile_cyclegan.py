@@ -23,7 +23,7 @@ bounded by one final fetch cannot finish early.
 
 Writes a JSON report to stdout and PROFILE_CYCLEGAN.json in the repo root.
 
-Usage: python scripts/profile_cyclegan.py [--iters 3] [--modes none,blocks,full]
+Usage: python scripts/profile_cyclegan.py [--iters 3] [--modes none,blocks,full,fused,bf16params,fused_bf16params]
 """
 from __future__ import annotations
 
@@ -41,6 +41,11 @@ import numpy as np
 
 
 def run_mode(mode: str, iters: int, K: int, trace: str | None) -> dict:
+    """Time one step variant. Modes: remat levels ("none"/"blocks"/"full"),
+    "fused" (fused_applications: gen 3B-batch + disc 2B-batch forwards),
+    "bf16params" (all float32 state — params, Adam moments, pools — cast to
+    bfloat16; halves parameter+optimizer HBM traffic at a numerics cost,
+    measured for throughput only), and "fused_bf16params" (both)."""
     from semtpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -53,8 +58,15 @@ def run_mode(mode: str, iters: int, K: int, trace: str | None) -> dict:
     a = (rng.random((40, 384, 384)) * 255).astype(np.uint8)
     b = ((rng.random((40, 384, 384)) > 0.7) * 255).astype(np.uint8)
 
-    tr = CycleGANTrainer(CycleGANConfig(scan_steps=K, remat=mode))
+    remat = mode if mode in ("none", "blocks", "full") else "none"
+    tr = CycleGANTrainer(CycleGANConfig(scan_steps=K, remat=remat,
+                                        fused_applications="fused" in mode))
     tr.create_state(steps_per_epoch=32)
+    if "bf16params" in mode:
+        tr.state = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tr.state)
     dev_a = as_device_images(a, tr.mesh, dict(normalization_range=(-1, 1)))
     dev_b = as_device_images(b, tr.mesh,
                              dict(normalization_range=(-1, 1), threshold=0.5))
@@ -128,11 +140,24 @@ def main(argv=None):
         entry = run_mode(args.single, args.iters, args.scan_steps, args.trace)
         with open(args.out, "w") as fh:
             json.dump(entry, fh)
-        print(f"remat={args.single}: {entry['s_per_step']*1000:.0f} ms/step "
+        print(f"mode={args.single}: {entry['s_per_step']*1000:.0f} ms/step "
               f"(compile {entry['compile_s']:.0f}s)", flush=True)
         return
 
+    # merge into the existing report so measuring a new variant does not
+    # drop previously-measured ones (the JSON is cited by RESULTS.md)
+    report_path = os.path.join(REPO, "PROFILE_CYCLEGAN.json")
     report = {"scan_steps": args.scan_steps, "batch": 5}
+    if os.path.exists(report_path):
+        try:
+            with open(report_path) as fh:
+                report.update(json.load(fh))
+        except Exception:
+            pass
+
+    def key_for(mode):
+        return f"remat_{mode}" if mode in ("none", "blocks", "full") else mode
+
     for mode in args.modes.split(","):
         out = f"/tmp/profile_cyclegan_{mode}.json"
         cmd = [sys.executable, os.path.abspath(__file__), "--single", mode,
@@ -143,13 +168,13 @@ def main(argv=None):
         r = subprocess.run(cmd, timeout=3600)
         if r.returncode == 0 and os.path.exists(out):
             with open(out) as fh:
-                report[f"remat_{mode}"] = json.load(fh)
+                report[key_for(mode)] = json.load(fh)
         else:
-            report[f"remat_{mode}"] = {"error": f"rc={r.returncode}"}
+            report[key_for(mode)] = {"error": f"rc={r.returncode}"}
 
     base = report.get("remat_none", {}).get("s_per_step")
-    for mode in ("blocks", "full"):
-        e = report.get(f"remat_{mode}")
+    for mode in ("blocks", "full", "fused", "bf16params", "fused_bf16params"):
+        e = report.get(key_for(mode))
         if e and base and "s_per_step" in e:
             e["speedup_vs_none"] = round(base / e["s_per_step"], 3)
 
