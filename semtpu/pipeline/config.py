@@ -70,6 +70,12 @@ class PipelineConfig:
     # measured roofline experiment (PROFILE_CYCLEGAN.json), quality config
     # unchanged
     cyclegan_remat: str = "none"
+    # fuse same-parameter applications inside the train step (generator
+    # adv+cycle+identity as one batch-3B forward, each discriminator's
+    # real+pooled as one batch-2B forward); a pure performance knob with
+    # per-sample-identical math (see CycleGANConfig.fused_applications),
+    # measured by scripts/profile_cyclegan.py --modes fused
+    cyclegan_fused_applications: bool = False
     # overlap cadence checkpoint writes with training; default off — the
     # on-device state snapshot + background fetch RESOURCE_EXHAUSTs the
     # tunneled v5e (see CycleGANConfig.async_checkpoint)

@@ -193,6 +193,7 @@ class Pipeline:
             invert_images=cfg.invert_images,
             stream_from_host=cfg.use_dataloader,
             remat=cfg.cyclegan_remat,
+            fused_applications=cfg.cyclegan_fused_applications,
             async_checkpoint=cfg.cyclegan_async_checkpoint,
             seed=cfg.seed)
         return CycleGANTrainer(ccfg, mesh=self.mesh)
