@@ -10,6 +10,14 @@
 # `--cyclegan-checkpoint auto` Li-keep-rate selection, so it is part of the
 # configuration, not just I/O).
 #
+# One pure-performance knob added vs s1/s2: --cyclegan-fused-applications
+# (gen 3B-batch / disc 2B-batch same-parameter forwards; per-sample math
+# equivalence-tested in tests/test_cyclegan.py::test_fused_applications_
+# match_baseline, measured 0.377 vs 0.713 s/step in PROFILE_CYCLEGAN.json).
+# It changes only the noise-draw instancing, i.e. the same class of
+# variation a seed change induces — the run remains a valid independent
+# seed point AND doubles as the end-to-end timing of the fused step.
+#
 # Every stage is output-guarded; safe to relaunch.
 # Usage: nohup bash scripts/round5b_chain.sh >> /root/repo/round5b_chain.log 2>&1 &
 set -u
@@ -48,7 +56,8 @@ PIPE_FLAGS="--num-simulated-masks 1000 --wgan-epochs 1000 --cyclegan-epochs 50 \
   --cyclegan-gaussian-noise-value 0.15 --cyclegan-checkpoint-every 10 \
   --cyclegan-checkpoint auto --metadata-bar-rows 56 \
   --unet-checkpoint-monitor val_loss --unet-early-stopping-patience 12 \
-  --skip-completed-steps true --cyclegan-remat none"
+  --skip-completed-steps true --cyclegan-remat none \
+  --cyclegan-fused-applications true"
 
 # ---- 1. run_s3: steps 0-6b, seed 3 ----------------------------------------
 if ! grep -q "step 6b" run_s3/timings.txt 2>/dev/null; then
@@ -58,12 +67,34 @@ if ! grep -q "step 6b" run_s3/timings.txt 2>/dev/null; then
   fi
   wait_for_tunnel
   note "=== run_s3 steps 0-6b (seed 3) ==="
+  # Per-step evidence watcher: run_s3/ is gitignored (bulk outputs), so the
+  # round-end driver auto-commit will NOT capture timings.txt — commit each
+  # new step line as it lands, in case the round ends mid-pipeline.
+  (
+    last=""
+    while :; do
+      sleep 300
+      cur=$(cat run_s3/timings.txt 2>/dev/null)
+      if [ -n "$cur" ] && [ "$cur" != "$last" ]; then
+        git add -f -- run_s3/timings.txt 2>/dev/null \
+          && git commit -q -m "evidence: run_s3 timings progress ($(tail -1 run_s3/timings.txt | awk '{print $3, $4}'))" \
+               --only -- run_s3/timings.txt 2>/dev/null \
+          && last="$cur"
+      fi
+    done
+  ) &
+  WATCH_PID=$!
+  echo $WATCH_PID > /tmp/r5b_watch.pid
   python scripts/run_with_retry.py --root-dir /root/repo/run_s3 \
     --log /root/repo/run_s3/pipeline.log --max-retries 60 -- \
     python -m semtpu.pipeline --root-dir /root/repo/run_s3 \
     $PIPE_FLAGS --seed 3 --steps 0,1,2,3,4,5,6a,6b
   rc=$?
   note "run_s3 pipeline rc=$rc"
+  kill "$WATCH_PID" 2>/dev/null
+  [ -f run_s3/timings.txt ] \
+    && commit_artifacts "evidence: run_s3 timings (fused cyclegan step, seed 3)" \
+         run_s3/timings.txt
   [ $rc -ne 0 ] && ! grep -q "step 6b" run_s3/timings.txt 2>/dev/null && exit $rc
 fi
 
