@@ -232,6 +232,11 @@ class CycleGANTrainer:
         size = self.config.image_pool_size
         if size == 0:
             return images, pool
+        # The pool's storage dtype is authoritative (float32 by default;
+        # a bf16-cast state, e.g. profile_cyclegan --modes bf16params, makes
+        # it bfloat16) — cast incoming fakes so dynamic_update_slice always
+        # sees matching dtypes.
+        images = images.astype(pool.images.dtype)
 
         def step(carry, xs):
             imgs, num = carry
