@@ -218,7 +218,11 @@ def bench_cyclegan_train(jax, jnp, details):
     from semtpu.data.dataset import as_device_images
 
     K, bs = 8, 5
-    tr = CycleGANTrainer(CycleGANConfig(scan_steps=K))
+    # fused_applications is the measured-best step (0.377 vs 0.713 s/step,
+    # PROFILE_CYCLEGAN.json) with per-sample-identical math
+    # (tests/test_cyclegan.py::test_fused_applications_match_baseline);
+    # bench records the configuration run_s3 validated end-to-end.
+    tr = CycleGANTrainer(CycleGANConfig(scan_steps=K, fused_applications=True))
     tr.create_state(steps_per_epoch=32)
     rng = np.random.default_rng(0)
     a = (rng.random((40, 384, 384)) * 255).astype(np.uint8)
